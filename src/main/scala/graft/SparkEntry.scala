@@ -1,11 +1,15 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.checks.Invariants
 import graft.constraints.Constraints
+import graft.dedup.Dedup
+import graft.drift.Drift
 import graft.gen.Derive
 import graft.runner.Runner
+import graft.stats.Stats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +27,31 @@ object SparkEntry {
       Derive.webPages(spark, "/root/testdata/sf0.001"),
       Constraints.webtextSuite)
 
+  /** Pages whose url passed the raw + shape constraints — the "validated
+    * rows continue downstream" stage (pass-channel of io.py:691-701).
+    */
+  private def validPages(df: DataFrame): DataFrame =
+    df.filter(col("url").isNotNull && length(col("url")) > 0 &&
+      col("url").rlike(Constraints.UrlPattern))
+
+  private val validUrlWhere =
+    "url IS NOT NULL AND length(url) > 0 AND regexp_matches(url, '^https?://[a-z0-9.-]+(/[^ ]*)?$')"
+
+  /** Deterministic dedup order: latest warc_ts wins, doc_id breaks ties
+    * (arg-max semantics of process.py:124-127).
+    */
+  private def dedupOrd: Column =
+    struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
+      (-col("doc_id")).as("negid"))
+
+  /** Baseline snapshot with a known mutated-text subset (doc_id%113==44),
+    * for the digest-invariant cross-run check.
+    */
+  private def mutatedBaseline(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      when(col("doc_id") % 113 === 44, concat(col("text"), lit(" mutated")))
+        .otherwise(col("text")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ===== core graft: row validation → violations + verdicts =====
     "violations" -> ((s, dir) =>
@@ -30,6 +59,62 @@ object SparkEntry {
         keyCols = Seq("doc_id", "url"))),
     "verdicts" -> ((s, dir) =>
       Runner.verdicts(Derive.webPages(s, dir), Constraints.webtextSuite)),
+
+    // ===== per-partition column statistics (condensation pass analogue) =====
+    "m_stats" -> ((s, dir) =>
+      Stats.columnStats(Derive.webPages(s, dir), Seq("url", "lang"), exact = true)
+        .withColumnRenamed("column", "col_name")),
+    "m_len_hist" -> ((s, dir) =>
+      Stats.lengthHistogram(Derive.webPages(s, dir), "text")),
+
+    // ===== uniqueness / dedup (process.py:99-147 arg-max semantics) =====
+    "dedup_url" -> ((s, dir) =>
+      Dedup.uniqueByKey(validPages(Derive.webPages(s, dir)),
+        col("url"), dedupOrd, payload = Seq("doc_id"))
+        .withColumnRenamed("key", "url")),
+    "dedup_url_salted" -> ((s, dir) =>
+      Dedup.uniqueByKeySalted(validPages(Derive.webPages(s, dir)),
+        col("url"), dedupOrd, payload = Seq("doc_id"), salts = 16)
+        .withColumnRenamed("key", "url")),
+    "dup_report" -> ((s, dir) =>
+      Dedup.duplicateReport(validPages(Derive.webPages(s, dir)), col("url"))
+        .withColumnRenamed("key", "url")),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"))),
+
+    // ===== referential integrity (dangling lineage, left-anti) =====
+    "ri_dangling" -> ((s, dir) =>
+      Dedup.danglingRows(
+        validPages(Derive.webPages(s, dir)).select("part", "doc_id", "url"),
+        Derive.lineage(s, dir), "url", broadcastParent = true)
+        .select("part", "doc_id", "url")),
+
+    // ===== distribution drift (KL/PSI) =====
+    "drift_lang" -> ((s, dir) => {
+      val wp = Derive.webPages(s, dir).filter(col("lang").isin(Derive.LangEnum: _*))
+      Drift.klPsi(
+        Drift.histogram(wp.filter(col("part") < 4), col("lang")),
+        Drift.histogram(wp.filter(col("part") >= 4), col("lang")))
+    }),
+    "drift_len" -> ((s, dir) => {
+      val wp = Derive.webPages(s, dir)
+      val bucket = Stats.log2Bucket(length(col("text")))
+      Drift.klPsi(
+        Drift.histogram(wp.filter(col("part") < 4), bucket),
+        Drift.histogram(wp.filter(col("part") >= 4), bucket),
+        smoothing = 0.5)
+    }),
+
+    // ===== content-digest invariant (api.py:883-936 analogue) =====
+    "digest" -> ((s, dir) =>
+      Derive.webPages(s, dir)
+        .select(col("part"), col("doc_id"), col("url"), md5(col("text")).as("text_md5"))),
+    "digest_changed" -> ((s, dir) => {
+      val cur = Derive.webPages(s, dir)
+      Invariants.digestChanged(cur, mutatedBaseline(cur),
+        keyCols = Seq("doc_id"), digest = md5(col("text")))
+    }),
 
     // ===== general relational coverage (TPC-H-ish) =====
     "q1_agg" -> ((s, dir) => {
@@ -74,6 +159,31 @@ object SparkEntry {
       |SELECT part, doc_id, url, 'text_len_max', CAST(length(text) AS VARCHAR), 'processing'
       |  FROM web_pages WHERE text IS NOT NULL AND NOT (length(text) <= 4096)""".stripMargin
 
+  private val dedupUrlOracle: String =
+    s"""${Derive.duckCte}
+       |SELECT url, doc_id FROM (
+       |  SELECT url, doc_id,
+       |         row_number() OVER (PARTITION BY url
+       |           ORDER BY COALESCE(ts_epoch, -1) DESC, doc_id ASC) AS rn
+       |  FROM web_pages WHERE $validUrlWhere
+       |) t WHERE rn = 1""".stripMargin
+
+  private def statsColOracle(c: String): String =
+    s"""SELECT part, '$c' AS col_name,
+       |  round(CAST(sum(CASE WHEN $c IS NULL OR $c = '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS null_rate,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS distinct_count,
+       |  COALESCE(min($c), 'NULL') AS min, COALESCE(max($c), 'NULL') AS max,
+       |  CAST(count(*) AS BIGINT) AS row_count
+       |FROM web_pages GROUP BY part""".stripMargin
+
+  /** Shared DuckDB fragment: KL + PSI from two histogram CTEs p/q(key, n). */
+  private def klPsiOracle(joined: String): String =
+    s"""j AS ($joined),
+       |t AS (SELECT sum(c_p) AS t_p, sum(c_q) AS t_q FROM j)
+       |SELECT round(sum((c_p / t_p) * ln((c_p / t_p) / (c_q / t_q))), 6) AS kl,
+       |       round(sum(((c_p / t_p) - (c_q / t_q)) * ln((c_p / t_p) / (c_q / t_q))), 6) AS psi
+       |FROM j, t""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "violations" ->
       s"""${Derive.duckCte}
@@ -93,6 +203,61 @@ object SparkEntry {
          |       pc.row_count
          |FROM pc CROSS JOIN cons
          |LEFT JOIN vc ON vc.part = pc.part AND vc.check_name = cons.check_name""".stripMargin,
+    "m_stats" ->
+      s"""${Derive.duckCte}
+         |${statsColOracle("url")}
+         |UNION ALL
+         |${statsColOracle("lang")}""".stripMargin,
+    "m_len_hist" ->
+      s"""${Derive.duckCte}
+         |SELECT part, CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM web_pages GROUP BY 1, 2""".stripMargin,
+    "dedup_url" -> dedupUrlOracle,
+    "dedup_url_salted" -> dedupUrlOracle,
+    "dup_report" ->
+      s"""${Derive.duckCte}
+         |SELECT url, CAST(count(*) AS BIGINT) AS n FROM web_pages
+         |WHERE $validUrlWhere
+         |GROUP BY url HAVING count(*) > 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "ri_dangling" ->
+      s"""${Derive.duckCte}
+         |SELECT part, doc_id, url FROM web_pages w
+         |WHERE $validUrlWhere
+         |  AND NOT EXISTS (SELECT 1 FROM lineage l WHERE l.url = w.url)""".stripMargin,
+    "drift_lang" ->
+      s"""${Derive.duckCte},
+         |p AS (SELECT lang AS key, count(*) AS n FROM web_pages
+         |      WHERE part < 4 AND lang IN ('en','de','fr','es','zh') GROUP BY 1),
+         |q AS (SELECT lang AS key, count(*) AS n FROM web_pages
+         |      WHERE part >= 4 AND lang IN ('en','de','fr','es','zh') GROUP BY 1),
+         |${klPsiOracle(
+        "SELECT p.key, CAST(p.n AS DOUBLE) AS c_p, CAST(q.n AS DOUBLE) AS c_q FROM p JOIN q USING (key)")}""".stripMargin,
+    "drift_len" ->
+      s"""${Derive.duckCte},
+         |p AS (SELECT CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS key, count(*) AS n
+         |      FROM web_pages WHERE part < 4 GROUP BY 1),
+         |q AS (SELECT CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS key, count(*) AS n
+         |      FROM web_pages WHERE part >= 4 GROUP BY 1),
+         |keys AS (SELECT key FROM p UNION SELECT key FROM q),
+         |${klPsiOracle(
+        """SELECT keys.key, COALESCE(p.n, 0) + 0.5 AS c_p, COALESCE(q.n, 0) + 0.5 AS c_q
+          |   FROM keys LEFT JOIN p USING (key) LEFT JOIN q USING (key)""".stripMargin)}""".stripMargin,
+    "digest" ->
+      s"""${Derive.duckCte}
+         |SELECT part, doc_id, url, md5(text) AS text_md5 FROM web_pages""".stripMargin,
+    "digest_changed" ->
+      s"""${Derive.duckCte},
+         |base AS (SELECT doc_id,
+         |  md5(CASE WHEN doc_id % 113 = 44 THEN text || ' mutated' ELSE text END) AS digest_baseline
+         |  FROM web_pages)
+         |SELECT w.doc_id, md5(w.text) AS digest_current, b.digest_baseline
+         |FROM web_pages w JOIN base b ON w.doc_id = b.doc_id
+         |WHERE md5(w.text) <> b.digest_baseline""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

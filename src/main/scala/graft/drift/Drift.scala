@@ -1,0 +1,67 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks: KL divergence and PSI between a current and
+  * a reference (baseline) categorical distribution — the engine's
+  * generalization of the reference's distribution counters
+  * (reference: src/sssom_pydantic/query.py:274-291 prefix-pair / entity
+  * Counters) into a thresholded verdict, and of its confidence
+  * aggregation's partial/final shape (process.py:472-568).
+  *
+  * Scale design: each side is one partial+final count aggregate; the
+  * divergence itself is an aggregate over the joined histograms —
+  * histogram cardinality is tiny (|langs|, |len buckets|), so the join is
+  * a broadcast regardless of input size. Fully distributed; no collect.
+  */
+object Drift {
+
+  /** Categorical histogram of `keyExpr` (one count aggregate). */
+  def histogram(df: DataFrame, keyExpr: Column): DataFrame =
+    df.groupBy(keyExpr.as("key")).agg(count(lit(1)).as("n"))
+
+  /** KL(p ‖ q) and PSI between two histograms over the SAME key domain.
+    * `smoothing` > 0 applies additive smoothing over the union of keys
+    * (required when a key can be absent on one side — KL/PSI are
+    * undefined at q=0). With smoothing = 0, keys are inner-joined and the
+    * caller guarantees shared support.
+    */
+  def klPsi(current: DataFrame, baseline: DataFrame, smoothing: Double = 0.0): DataFrame = {
+    val joined =
+      if (smoothing > 0.0) {
+        val keys = current.select(col("key"))
+          .union(baseline.select(col("key"))).distinct()
+        keys
+          .join(current.withColumnRenamed("n", "n_p"), Seq("key"), "left")
+          .join(baseline.withColumnRenamed("n", "n_q"), Seq("key"), "left")
+          .select(col("key"),
+            (coalesce(col("n_p"), lit(0L)) + smoothing).as("c_p"),
+            (coalesce(col("n_q"), lit(0L)) + smoothing).as("c_q"))
+      } else {
+        current.withColumnRenamed("n", "c_p")
+          .join(baseline.withColumnRenamed("n", "c_q"), Seq("key"), "inner")
+          .select(col("key"), col("c_p").cast("double").as("c_p"),
+            col("c_q").cast("double").as("c_q"))
+      }
+    val tot = joined.agg(sum(col("c_p")).as("t_p"), sum(col("c_q")).as("t_q"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        (col("c_p") / col("t_p")).as("p"),
+        (col("c_q") / col("t_q")).as("q"))
+      .agg(
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+  }
+
+  /** Drift verdict row: fails when PSI exceeds `psiThreshold`
+    * (0.2 = "significant shift" in common PSI practice).
+    */
+  def verdict(current: DataFrame, baseline: DataFrame, name: String,
+              psiThreshold: Double = 0.2, smoothing: Double = 0.0): DataFrame =
+    klPsi(current, baseline, smoothing)
+      .select(
+        lit(name).as("check_name"),
+        (col("psi") <= psiThreshold).as("passed"),
+        col("kl"), col("psi"))
+}

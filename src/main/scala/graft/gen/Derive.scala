@@ -65,6 +65,20 @@ object Derive {
     )
   }
 
+  /** Referential-integrity target (FIXTURES.md §B.2): the fetch-lineage
+    * table every valid page url must join to. Deterministically omits
+    * doc_id % 6 == 5 so a known subset of pages dangles (the
+    * `derived_from` dangling-edge analogue, neo4j_database.py:118-121).
+    */
+  def lineage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = col("doc_id")
+    docs.filter(d % 6 =!= 5).select(
+      concat(lit("https://ex"), d % 7, lit(".org/doc/"), d).as("url"),
+      to_timestamp(lit(WindowStart) + (d * 7919) % WindowLen).as("warc_ts"),
+      concat(lit("fetch-"), d).as("fetch_id"))
+  }
+
   /** DuckDB CTE computing the identical table (html kept as VARCHAR —
     * it never appears in query outputs, only `length(html)` does, and
     * the wrapped text is pure ASCII so char length == byte length).
@@ -89,5 +103,10 @@ object Derive {
       |         ELSE lang END AS lang,
       |    CAST(doc_id % 8 AS INTEGER) AS part
       |  FROM documents
+      |), lineage AS (
+      |  SELECT 'https://ex' || (doc_id % 7) || '.org/doc/' || doc_id AS url,
+      |         1767225600 + (doc_id * 7919) % 7776000 AS ts_epoch,
+      |         'fetch-' || doc_id AS fetch_id
+      |  FROM documents WHERE doc_id % 6 <> 5
       |)""".stripMargin
 }

@@ -1,0 +1,67 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-partition column statistics — the generalization of the reference's
+  * condensation / column-presence passes (reference: src/sssom_pydantic/
+  * io.py:484-545: per-column distinct Counter + "any data" scan).
+  *
+  * Scale design: ONE aggregate pass per call, keyed by the low-cardinality
+  * table partition column, so partial aggregation collapses everything
+  * map-side; the shuffle moves |parts| × (a few counters) rows. Distinct
+  * counts use HLL++ (`approx_count_distinct`) by default — exact
+  * `countDistinct` over many columns triggers Catalyst's Expand (row
+  * multiplication by #distinct-aggs), which is wrong at 100 TB. `exact =
+  * true` exists for small-scale oracle testing only.
+  */
+object Stats {
+
+  /** Long-format stats: one row per (part, column) with null_rate,
+    * distinct count, min/max (as strings).
+    */
+  def columnStats(df: DataFrame, columns: Seq[String], exact: Boolean = false): DataFrame = {
+    val aggs: Seq[Column] = columns.flatMap { c =>
+      val distinct =
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"nulls_$c"),
+        distinct.as(s"distinct_$c"),
+        min(col(c).cast("string")).as(s"min_$c"),
+        max(col(c).cast("string")).as(s"max_$c"))
+    } :+ count(lit(1)).as("row_count")
+    val g = df.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+    val entries = array(columns.map(c => struct(
+      lit(c).as("column"),
+      col(s"nulls_$c").as("null_count"),
+      col(s"distinct_$c").cast("long").as("distinct_count"),
+      coalesce(col(s"min_$c"), lit("NULL")).as("min"),
+      coalesce(col(s"max_$c"), lit("NULL")).as("max"))): _*)
+    g.select(col("part"), col("row_count"), explode(entries).as("e"))
+      .select(
+        col("part"),
+        col("e.column").as("column"),
+        round(col("e.null_count").cast("double") / col("row_count"), 6).as("null_rate"),
+        col("e.distinct_count"),
+        col("e.min").as("min"),
+        col("e.max").as("max"),
+        col("row_count"))
+  }
+
+  /** Per-partition log2 length histogram over a string column:
+    * bucket = floor(log2(max(length, 1))). Reference analogue: the
+    * distribution counters of query.py:274-291; at scale this is one
+    * partial+final aggregate, no window.
+    *
+    * Computed as `length(bin(x)) - 1` — pure integer arithmetic — because
+    * floating `log` can land on either side of an integer for exact powers
+    * of two, which would make buckets engine-dependent.
+    */
+  def lengthHistogram(df: DataFrame, column: String): DataFrame =
+    df.groupBy(col("part"), log2Bucket(length(col(column))).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** floor(log2(max(x, 1))) via binary-string length: exact for all x. */
+  def log2Bucket(x: Column): Column =
+    (length(bin(greatest(x, lit(1)).cast("long"))) - 1).cast("long")
+}

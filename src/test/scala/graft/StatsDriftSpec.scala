@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.Stats
+import graft.drift.Drift
+
+class StatsDriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("log2Bucket is exact at powers of two") {
+    val df = Seq(0, 1, 2, 3, 4, 127, 128, 129, 255, 256, 1024).toDF("x")
+    val got = df.select(col("x"), Stats.log2Bucket(col("x")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 0L, 1 -> 0L, 2 -> 1L, 3 -> 1L, 4 -> 2L,
+      127 -> 6L, 128 -> 7L, 129 -> 7L, 255 -> 7L, 256 -> 8L, 1024 -> 10L))
+  }
+
+  test("columnStats: null rate, distinct, min/max per partition") {
+    val df = Seq(
+      (0, Some("b")), (0, Some("a")), (0, None), (0, Some("a")),
+      (1, Some("z"))).toDF("part", "v")
+    val got = Stats.columnStats(df, Seq("v"), exact = true)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(2), r.getLong(3), r.getString(4), r.getString(5), r.getLong(6)))).toMap
+    assert(got(0) == ((0.25, 2L, "a", "b", 4L)))
+    assert(got(1) == ((0.0, 1L, "z", "z", 1L)))
+  }
+
+  test("KL and PSI are zero for identical distributions") {
+    val h = Seq(("en", 10L), ("de", 5L)).toDF("key", "n")
+    val r = Drift.klPsi(h, h).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("PSI is symmetric-positive for shifted distributions and smoothing covers missing keys") {
+    val p = Seq(("en", 90L), ("de", 10L)).toDF("key", "n")
+    val q = Seq(("en", 50L), ("de", 40L), ("fr", 10L)).toDF("key", "n")
+    val r = Drift.klPsi(p, q, smoothing = 0.5).head()
+    assert(r.getDouble(0) > 0.0 && r.getDouble(1) > 0.0)
+    val v = Drift.verdict(p, q, "lang_drift", psiThreshold = 0.01, smoothing = 0.5).head()
+    assert(v.getString(0) == "lang_drift" && !v.getBoolean(1))
+  }
+}
