@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.agg.Confidence
 import graft.checks.Invariants
 import graft.constraints.Constraints
 import graft.dedup.Dedup
 import graft.drift.Drift
 import graft.gen.Derive
+import graft.query.{PageQuery, QueryDsl, SetOps}
 import graft.runner.Runner
 import graft.stats.Stats
 
@@ -116,6 +118,58 @@ object SparkEntry {
         keyCols = Seq("doc_id"), digest = md5(col("text")))
     }),
 
+    // ===== query DSL: declarative filter compiled to one predicate =====
+    "f_query" -> ((s, dir) =>
+      QueryDsl.filterPages(Derive.webPages(s, dir),
+        PageQuery(textContains = Some("SPARK"), langIn = Some(Seq("en", "de")),
+          minTextLen = Some(50)))
+        .select("doc_id", "url")),
+    "f_whitelist" -> ((s, dir) =>
+      QueryDsl.filterPages(Derive.webPages(s, dir),
+        PageQuery(langIn = Some(Seq("en"))),
+        urlWhitelist = Some(Derive.lineage(s, dir)))
+        .select("doc_id", "url")),
+
+    // ===== sort DSL / pagination / top-k =====
+    "q_sort_paginate" -> ((s, dir) =>
+      QueryDsl.paginate(
+        Derive.webPages(s, dir)
+          .orderBy(length(col("text")).desc, col("url").asc_nulls_last, col("doc_id").asc),
+        offset = 10, limit = 20)
+        .select("doc_id")),
+    "q_topk" -> ((s, dir) =>
+      Derive.webPages(s, dir)
+        .orderBy(length(col("text")).desc, col("doc_id").asc)
+        .limit(15)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))),
+
+    // ===== set operations (VennSets, compare.py:338-354) =====
+    "s_venn" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      SetOps.vennCounts(docs.filter(col("lang") === "en"),
+        docs.filter(col("source") === "src3"), "doc_id")
+    }),
+    "s_venn_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      SetOps.vennSplit(docs.filter(col("lang") === "en"),
+        docs.filter(col("source") === "src3"), "doc_id")
+    }),
+    "s_exclude" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      SetOps.excludeByKey(docs, docs.filter(col("lang") === "zh"), col("doc_id"))
+        .select("doc_id")
+    }),
+
+    // ===== confidence aggregation algebra (process.py:472-568) =====
+    "conf_mean" -> ((s, dir) =>
+      Confidence.aggregate(s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type"), lit(1.0) / (lit(1.0) + col("value")),
+        Confidence.Mean, negated = col("event_type") === "error")),
+    "conf_noisyor" -> ((s, dir) =>
+      Confidence.aggregate(s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type"), lit(1.0) / (lit(1.0) + col("value")),
+        Confidence.Binomial, negated = col("event_type") === "error")),
+
     // ===== general relational coverage (TPC-H-ish) =====
     "q1_agg" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -128,7 +182,40 @@ object SparkEntry {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
+    }),
+    "q3_join" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(
+          col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"))
+    }),
+    "q_counts" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(explode(array(col("l_partkey"), col("l_suppkey"))).as("entity"))
+        .groupBy(col("entity")).agg(count(lit(1)).as("n"))),
+    "q_count_unique" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(explode(array(col("l_partkey"), col("l_suppkey"))).as("entity"))
+        .agg(countDistinct(col("entity")).as("n_unique")))
   )
 
   private val violationsUnion: String =
@@ -258,6 +345,82 @@ object SparkEntry {
          |SELECT w.doc_id, md5(w.text) AS digest_current, b.digest_baseline
          |FROM web_pages w JOIN base b ON w.doc_id = b.doc_id
          |WHERE md5(w.text) <> b.digest_baseline""".stripMargin,
+    "f_query" ->
+      s"""${Derive.duckCte}
+         |SELECT doc_id, url FROM web_pages
+         |WHERE contains(lower(text), 'spark') AND lang IN ('en', 'de')
+         |  AND length(text) >= 50""".stripMargin,
+    "f_whitelist" ->
+      s"""${Derive.duckCte}
+         |SELECT doc_id, url FROM web_pages w
+         |WHERE lang IN ('en')
+         |  AND EXISTS (SELECT 1 FROM lineage l WHERE l.url = w.url)""".stripMargin,
+    "q_sort_paginate" ->
+      s"""${Derive.duckCte}
+         |SELECT doc_id FROM web_pages
+         |ORDER BY length(text) DESC, url ASC NULLS LAST, doc_id ASC
+         |LIMIT 20 OFFSET 10""".stripMargin,
+    "q_topk" ->
+      s"""${Derive.duckCte}
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len FROM web_pages
+         |ORDER BY length(text) DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "s_venn" ->
+      """WITH l AS (SELECT DISTINCT doc_id, 1 AS in_l FROM documents WHERE lang = 'en'),
+        |r AS (SELECT DISTINCT doc_id, 1 AS in_r FROM documents WHERE source = 'src3')
+        |SELECT
+        |  CAST(sum(CASE WHEN in_l IS NOT NULL AND in_r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_only,
+        |  CAST(sum(CASE WHEN in_l IS NOT NULL AND in_r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS intersection,
+        |  CAST(sum(CASE WHEN in_l IS NULL AND in_r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_only
+        |FROM l FULL OUTER JOIN r USING (doc_id)""".stripMargin,
+    "s_venn_split" ->
+      """WITH l AS (SELECT DISTINCT doc_id, 1 AS in_l FROM documents WHERE lang = 'en'),
+        |r AS (SELECT DISTINCT doc_id, 1 AS in_r FROM documents WHERE source = 'src3')
+        |SELECT doc_id, CASE WHEN in_l IS NOT NULL AND in_r IS NOT NULL THEN 'both'
+        |                    WHEN in_l IS NOT NULL THEN 'left_only'
+        |                    ELSE 'right_only' END AS side
+        |FROM l FULL OUTER JOIN r USING (doc_id)""".stripMargin,
+    "s_exclude" ->
+      """SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents x
+        |                  WHERE x.lang = 'zh' AND x.doc_id = d.doc_id)""".stripMargin,
+    "conf_mean" ->
+      """SELECT event_type,
+        |  round(avg(CASE WHEN event_type = 'error'
+        |    THEN 1 - 1.0 / (1.0 + value) ELSE 1.0 / (1.0 + value) END), 6) AS confidence,
+        |  CAST(count(*) AS BIGINT) AS n_evidence
+        |FROM events GROUP BY event_type""".stripMargin,
+    "conf_noisyor" ->
+      """SELECT event_type,
+        |  round(1 - exp(sum(ln(1 - CASE WHEN event_type = 'error'
+        |    THEN 1 - 1.0 / (1.0 + value) ELSE 1.0 / (1.0 + value) END))), 6) AS confidence,
+        |  CAST(count(*) AS BIGINT) AS n_evidence
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_counts" ->
+      """SELECT entity, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest([l_partkey, l_suppkey]) AS entity FROM lineitem) t
+        |GROUP BY entity""".stripMargin,
+    "q_count_unique" ->
+      """SELECT CAST(count(DISTINCT entity) AS BIGINT) AS n_unique
+        |FROM (SELECT unnest([l_partkey, l_suppkey]) AS entity FROM lineitem) t""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,93 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative page-query DSL — the engine twin of the reference's
+  * 8-field `Query` pydantic model (reference: src/sssom_pydantic/
+  * query.py:30-87), compiled once into a single Catalyst `Column`
+  * predicate, exactly as the reference compiles the same model three ways
+  * (in-memory predicates query.py:147-181, SQL WHERE
+  * database/sql_database.py:449-497, Cypher neo4j_database.py:367-404).
+  * Catalyst pushes the resulting conjunction into the parquet scan.
+  */
+final case class PageQuery(
+    urlContains: Option[String] = None,    // casefolded substring, query.py:159-163
+    textContains: Option[String] = None,   // full-text `query` field analogue
+    langIn: Option[Seq[String]] = None,    // prefix-membership analogue
+    domainPrefix: Option[String] = None,   // subject_prefix STARTS WITH analogue
+    tsFromEpoch: Option[Long] = None,
+    tsToEpoch: Option[Long] = None,
+    minTextLen: Option[Int] = None,
+    maxTextLen: Option[Int] = None
+)
+
+/** Sort DSL — the reference's 16 `Sort` literals with None-last ordering
+  * via tuple keys (query.py:196-248); Spark's null-ordering variants are
+  * the same trick natively.
+  */
+sealed trait PageSort { def column: Column }
+object PageSort {
+  case object TsAsc extends PageSort { def column: Column = col("warc_ts").asc_nulls_last }
+  case object TsDesc extends PageSort { def column: Column = col("warc_ts").desc_nulls_last }
+  case object LenAsc extends PageSort { def column: Column = length(col("text")).asc_nulls_last }
+  case object LenDesc extends PageSort { def column: Column = length(col("text")).desc_nulls_last }
+  case object UrlAsc extends PageSort { def column: Column = col("url").asc_nulls_last }
+  case object LangAsc extends PageSort { def column: Column = col("lang").asc_nulls_last }
+}
+
+object QueryDsl {
+
+  /** Casefolded substring match (query.py:159-163 `casefold() in`). */
+  private def icontains(c: Column, v: String): Column =
+    lower(c).contains(v.toLowerCase)
+
+  /** Compile the query model to one predicate Column (AND of present
+    * fields, like clauses_from_query, database/sql_database.py:504-528).
+    */
+  def compile(q: PageQuery): Column = {
+    val clauses: Seq[Column] = Seq(
+      q.urlContains.map(v => icontains(col("url"), v)),
+      q.textContains.map(v => icontains(col("text"), v)),
+      q.langIn.map(vs => col("lang").isin(vs: _*)),
+      q.domainPrefix.map(v => col("url").startsWith(s"https://$v")),
+      q.tsFromEpoch.map(v => unix_timestamp(col("warc_ts")) >= v),
+      q.tsToEpoch.map(v => unix_timestamp(col("warc_ts")) <= v),
+      q.minTextLen.map(v => length(col("text")) >= v),
+      q.maxTextLen.map(v => length(col("text")) <= v)
+    ).flatten
+    clauses.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** filter_mappings (query.py:89-101): predicate + optional whitelist
+    * semi-join (`keep_references_either`).
+    */
+  def filterPages(df: DataFrame, q: PageQuery,
+                  urlWhitelist: Option[DataFrame] = None): DataFrame = {
+    val filtered = df.filter(compile(q))
+    urlWhitelist.fold(filtered)(w =>
+      filtered.join(broadcast(w.select(col("url")).distinct()), Seq("url"), "left_semi"))
+  }
+
+  /** Label normalization for same-text matching (query.py:143-144 and its
+    * SQL twin database/sql_database.py:500-501): strip spaces + hyphens,
+    * lowercase.
+    */
+  def normText(c: Column): Column = lower(regexp_replace(c, "[ -]", ""))
+
+  def sortPages(df: DataFrame, sorts: PageSort*): DataFrame =
+    df.orderBy(sorts.map(_.column): _*)
+
+  /** paginate_mappings (query.py:295-337): negative values rejected. */
+  def paginate(df: DataFrame, offset: Int, limit: Int): DataFrame = {
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    require(limit >= 0, s"limit must be >= 0, got $limit")
+    df.offset(offset).limit(limit)
+  }
+
+  /** Top-k: orderBy+limit collapses to TakeOrderedAndProject — no global
+    * sort materialization (web/ui.py:34-53 order_by+limit).
+    */
+  def topK(df: DataFrame, k: Int, sorts: PageSort*): DataFrame =
+    df.orderBy(sorts.map(_.column): _*).limit(k)
+}
