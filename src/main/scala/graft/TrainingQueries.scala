@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.Derive
+import graft.multimodal.Multimodal
+import graft.sim.{Ann, Sim}
+import graft.text.TextOps
+
+/** Training-data-pipeline queries (text analysis, near-dup detection,
+  * similarity search, multimodal plumbing) + their DuckDB oracles.
+  * Split from SparkEntry for readability; SparkEntry merges both maps.
+  */
+object TrainingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== text analysis =====
+    "t_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"), "text")),
+    "t_langid" -> ((s, dir) =>
+      TextOps.languageId(s.read.parquet(s"$dir/documents.parquet"), "text")),
+    "t_quality" -> ((s, dir) =>
+      TextOps.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "text")),
+    "t_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet"), "text")),
+
+    // ===== near-dup detection =====
+    "sim_ngram_pairs" -> ((s, dir) =>
+      Sim.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.2)),
+    "sim_minhash_sig" -> ((s, dir) =>
+      Sim.minhashSignatures(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, k = 8)),
+    "sim_minhash_lsh" -> ((s, dir) =>
+      Sim.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, k = 8, rows = 2, threshold = 0.2)),
+    "sim_simhash" -> ((s, dir) =>
+      Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "sim_simhash_pairs" -> ((s, dir) =>
+      Sim.simhashPairs(
+        Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+        maxHamming = 6)),
+
+    // ===== embedding similarity search =====
+    "emb_knn" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+    "emb_neardup" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.35)),
+    "emb_lsh_buckets" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      e.select(col("vec_id"),
+        Ann.lshBucket(transform(col("embedding"), x => x.cast("double")), 64).as("bucket"))
+    }),
+    "emb_ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
+    // ===== multimodal plumbing (metadata projection; decode is stubbed) =====
+    "mm_features" -> ((s, dir) =>
+      Multimodal.metadata(Derive.webPages(s, dir), "doc_id", "html"))
+  )
+
+  // ---------- DuckDB oracle SQL ----------
+
+  /** Tokens CTE shared by the text/sim oracles. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |FROM documents)""".stripMargin
+
+  /** Distinct word-3-gram shingles CTE (builds on toks). */
+  private val shinglesCte =
+    """sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+      |FROM toks)""".stripMargin
+
+  private def stops(l: String): String =
+    TextOps.Stopwords.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitExpr(l: String): String =
+    s"CAST(len(list_filter(ws, t -> list_contains(${stops(l)}, t))) AS BIGINT)"
+
+  /** Integer from the first `n` hex digits of md5(expr) — positional
+    * arithmetic (DuckDB lacks conv()).
+    */
+  private def md5Int(expr: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * ${math.pow(16, (n - i).toDouble).toLong}")
+      .mkString("(", " + ", ")")
+
+  private val minhashCols: Seq[String] =
+    (1 to 8).map(i => s"list_aggregate(list_transform(shs, s -> md5('$i:' || s)), 'min') AS mh_$i")
+
+  private val simhashSelect: String = {
+    val v = md5Int("tok", 8)
+    val sums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n    ")
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tv AS (SELECT doc_id AS id, $v AS v
+       |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks) u),
+       |ssum AS (SELECT id,
+       |    $sums
+       |  FROM tv GROUP BY id),
+       |sim AS (SELECT id, CAST($bits AS BIGINT) AS simhash FROM ssum)""".stripMargin
+  }
+
+  private val embCte =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  /** LSH bucket expression over 8 deterministic integer-arithmetic
+    * hyperplanes (must mirror Ann.hyperplaneWeight / Ann.lshBucket).
+    */
+  private val bucketsCte: String =
+    """planes AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j)),
+      |dots AS (SELECT vec_id, j,
+      |  round(list_sum(list_transform(generate_series(1, 64),
+      |    d -> v[d] * (CAST((j * 2654435761 + d * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))), 9) AS dot
+      |  FROM e, planes),
+      |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "t_tokens" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens
+         |FROM toks""".stripMargin,
+    "t_langid" ->
+      s"""WITH $toksCte,
+         |sc AS (SELECT doc_id, ${hitExpr("en")} AS s_en, ${hitExpr("de")} AS s_de,
+         |       ${hitExpr("fr")} AS s_fr, ${hitExpr("es")} AS s_es FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de > s_en THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr >= s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+         |       WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  s_en, s_de, s_fr, s_es
+         |FROM sc""".stripMargin,
+    "t_quality" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, len(ws) AS n_tok,
+         |  CAST(length(lower(text)) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(lower(text)), 1) AS punct_r,
+         |  CAST(len(list_filter(ws, t -> list_contains(${stops("en")}, t))) AS DOUBLE)
+         |    / greatest(len(ws), 1) AS stop_r
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |  round(punct_r, 6) AS punct_ratio, round(stop_r, 6) AS stop_ratio,
+         |  round(1.0 / (1.0 + exp(-(n_tok * 0.05 + stop_r * 2.0 - punct_r * 5.0 - 2.0))), 6) AS quality
+         |FROM m""".stripMargin,
+    "t_fingerprint" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(ws, w -> ${md5Int("w", 12)} % 1000003) AS hs FROM toks)
+         |SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0
+         |  ELSE list_reduce(hs, (a, b) -> (a * 31 + b) % 1000003) END AS BIGINT) AS fp
+         |FROM h""".stripMargin,
+    "sim_ngram_pairs" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(shs) AS sz FROM sh)
+         |SELECT * FROM (
+         |  SELECT id_1, id_2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
+         |  FROM inter JOIN sz s1 ON s1.doc_id = id_1 JOIN sz s2 ON s2.doc_id = id_2
+         |) t WHERE jac >= 0.2""".stripMargin,
+    "sim_minhash_sig" ->
+      s"""WITH $toksCte, $shinglesCte
+         |SELECT doc_id AS id, ${minhashCols.mkString(",\n  ")}
+         |FROM sh""".stripMargin,
+    "sim_minhash_lsh" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |sig AS (SELECT doc_id AS id, shs, ${minhashCols.mkString(",\n  ")} FROM sh),
+         |bands AS (SELECT id, shs, j.band,
+         |    CASE j.band WHEN 0 THEN md5(mh_1 || '|' || mh_2)
+         |                WHEN 1 THEN md5(mh_3 || '|' || mh_4)
+         |                WHEN 2 THEN md5(mh_5 || '|' || mh_6)
+         |                ELSE md5(mh_7 || '|' || mh_8) END AS bkey
+         |  FROM sig, (VALUES (0),(1),(2),(3)) j(band)),
+         |cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.shs AS shs_1, b.shs AS shs_2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT id_1, id_2,
+         |    round(len(list_intersect(shs_1, shs_2)) * 1.0
+         |      / len(list_distinct(list_concat(shs_1, shs_2))), 6) AS jac
+         |  FROM cand
+         |) t WHERE jac >= 0.2""".stripMargin,
+    "sim_simhash" ->
+      s"""WITH $toksCte,
+         |$simhashSelect
+         |SELECT id, simhash FROM sim""".stripMargin,
+    "sim_simhash_pairs" ->
+      s"""WITH $toksCte,
+         |$simhashSelect,
+         |bands AS (SELECT id, simhash, j.band, (simhash >> (j.band * 8)) & 255 AS bkey
+         |  FROM sim, (VALUES (0),(1),(2),(3)) j(band))
+         |SELECT DISTINCT a.id AS id_1, b.id AS id_2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    "emb_knn" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (SELECT query_id, e.vec_id AS id,
+         |    round(list_cosine_similarity(qv, e.v), 6) AS cos
+         |  FROM q, e WHERE e.vec_id <> q.query_id)
+         |SELECT * FROM (
+         |  SELECT query_id, id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank
+         |  FROM scored
+         |) t WHERE rank <= 10""".stripMargin,
+    "emb_neardup" ->
+      s"""WITH $embCte
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |) t WHERE cos >= 0.35""".stripMargin,
+    "emb_lsh_buckets" ->
+      s"""WITH $embCte,
+         |$bucketsCte
+         |SELECT vec_id, bucket FROM buckets""".stripMargin,
+    "emb_ann_topk" ->
+      s"""WITH $embCte,
+         |$bucketsCte,
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+         |  FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id < 5),
+         |c AS (SELECT e.vec_id AS id, e.v AS cv, b.bucket
+         |  FROM e JOIN buckets b USING (vec_id)),
+         |scored AS (SELECT query_id, id, round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM q JOIN c USING (bucket) WHERE id <> query_id)
+         |SELECT * FROM (
+         |  SELECT query_id, id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank
+         |  FROM scored
+         |) t WHERE rank <= 5""".stripMargin,
+    "mm_features" ->
+      s"""${Derive.duckCte}
+         |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_bytes,
+         |       substr(html, 1, 12) AS head
+         |FROM web_pages""".stripMargin
+  )
+}

