@@ -164,10 +164,11 @@ object TrainingQueries {
          |FROM h""".stripMargin,
     "sim_ngram_pairs" ->
       s"""WITH $toksCte, $shinglesCte,
-         |inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |hsh AS (SELECT doc_id, list_distinct(list_transform(shs, s -> ${md5Int("s", 15)})) AS hs FROM sh),
+         |inv AS (SELECT doc_id, unnest(hs) AS s FROM hsh),
          |inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
          |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(shs) AS sz FROM sh)
+         |sz AS (SELECT doc_id, len(hs) AS sz FROM hsh)
          |SELECT * FROM (
          |  SELECT id_1, id_2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
          |  FROM inter JOIN sz s1 ON s1.doc_id = id_1 JOIN sz s2 ON s2.doc_id = id_2

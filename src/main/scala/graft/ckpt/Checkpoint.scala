@@ -1,0 +1,53 @@
+package graft.ckpt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Snapshot-manifest checkpointing (FIXTURES.md §B.6) — the Iceberg
+  * snapshot emulation that makes validation runs resumable.
+  *
+  * Contract (north rule): a re-run over the same input processes only
+  * table partitions absent from the manifest; full-run ≡ resumed-run on
+  * all output tables. Snapshot ids are monotonic; each snapshot row
+  * records the partitions completed by one commit. Completed partitions
+  * are the UNION over all snapshots (append-only, like Iceberg's
+  * manifest list).
+  *
+  * The reference analogue is `CachedSemanticMappings` lazy resume
+  * (io.py:1018-1032) + the content-addressed `_mutate` insert-then-delete
+  * (database/repo.py:204-218): append-only bookkeeping, idempotence keyed
+  * by content, crash between steps never double-counts.
+  */
+object Checkpoint {
+
+  private def manifestPath(root: String) = s"$root/_snapshots"
+
+  def latestSnapshotId(spark: SparkSession, root: String): Long = {
+    if (!Tables.exists(spark, manifestPath(root))) return 0L
+    val m = spark.read.parquet(manifestPath(root))
+    if (m.isEmpty) 0L
+    else m.agg(max(col("snapshot_id"))).head().getLong(0)
+  }
+
+  /** Partitions already completed (union across all snapshots). */
+  def completedParts(spark: SparkSession, root: String): Set[Int] = {
+    if (!Tables.exists(spark, manifestPath(root))) return Set.empty
+    spark.read.parquet(manifestPath(root))
+      .select(explode(col("parts_done")).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Commit a snapshot recording `partsDone` as newly completed.
+    * Returns the new monotonic snapshot id.
+    */
+  def commit(spark: SparkSession, root: String, runId: String,
+             partsDone: Seq[Int]): Long = {
+    import spark.implicits._
+    val next = latestSnapshotId(spark, root) + 1
+    val row = Seq((next, runId, partsDone, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("snapshot_id", "run_id", "parts_done", "committed_at")
+    row.write.mode("append").parquet(manifestPath(root))
+    next
+  }
+}

@@ -15,14 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two double arrays (row-local, sequential fold —
-    * deterministic summation order).
+  /** Cosine similarity of two double arrays — a native codegen Catalyst
+    * expression ([[graft.expr.CosineSim]]): one fused loop instead of
+    * three interpreted `aggregate` folds (the HOF version is
+    * CodegenFallback and was the bench bottleneck). Same summation order,
+    * so oracle parity at round(·, 6) is preserved.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.VectorExprs.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

@@ -25,35 +25,73 @@ object Sim {
 
   // ===== shingling =====
 
-  /** Distinct word n-gram shingles as a row-local array. Guarded for
-    * short texts: Spark's `sequence(1, 0)` counts DOWN, so the < n case
-    * must short-circuit to an empty array.
+  /** Distinct word n-gram shingles from a pre-materialized token array.
+    * Guarded for short texts: Spark's `sequence(1, 0)` counts DOWN, so
+    * the < n case must short-circuit to an empty array.
+    *
+    * PERF: `ws` MUST be a plain column attribute, not the tokenization
+    * expression — higher-order functions are interpreted (CodegenFallback,
+    * no common-subexpression elimination), so an inlined `split+filter`
+    * here re-tokenizes the whole text once per `element_at` call,
+    * turning shingling from O(len) into O(shingles × len) per row
+    * (measured 15s → 0.4s on 5k docs). Use [[shingled]].
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = TextOps.tokens(text)
+  def shinglesOfTokens(ws: Column, n: Int = 3): Column =
     when(size(ws) >= n,
       array_distinct(
         transform(
           sequence(lit(1), size(ws) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** One-expression variant for tests/ad-hoc use (slow path, see above). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(TextOps.tokens(text), n)
+
+  /** (id, shs) projection with the tokens materialized as an attribute in
+    * their own projection step — the multi-referenced alias blocks
+    * CollapseProject from inlining tokenization into the shingle lambdas.
+    */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), shinglesOfTokens(col("__ws"), n).as("shs"))
 
   /** Jaccard of two pre-deduped shingle arrays (row-local). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** 60-bit integer shingle id (first 15 hex digits of md5): the inverted
+    * index joins/aggregates on longs instead of strings — same counts,
+    * engine-portable (DuckDB mirrors it with positional hex arithmetic),
+    * collision odds ~N²/2⁶¹.
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode distinct shingles, self-join on the shingle, count shared
-    * shingles per pair, compute jaccard from the counts. Baseline for
-    * MinHash; the shingle join is the scale bottleneck by construction.
+    * explode hashed shingles, self-join on the 64-bit shingle id, count
+    * shared shingles per pair, compute jaccard from the counts. Baseline
+    * for MinHash; the shingle join is the scale bottleneck by
+    * construction (every co-occurring pair meets — MinHash LSH is the
+    * 100 TB path).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    // persist: the shingle table feeds both self-join sides AND both
+    // size joins — uncached, Spark re-evaluates the tokenize+shingle+hash
+    // pipeline four times (at 100 TB this would be a materialized index
+    // table; here MEMORY_AND_DISK is the same idea in-session)
+    val sh = shingled(docs, idCol, textCol, n)
+      .select(col("id"), array_distinct(transform(col("shs"), shingleHash(_))).as("shs"))
+      .persist()
     val sizes = sh.select(col("id"), size(col("shs")).as("sz"))
-    val inv = sh.select(col("id"), explode(col("shs")).as("sh"))
+    // explode_outer: plain explode triggers InferFiltersFromGenerate,
+    // which duplicates the (expensive) shingle expression into a pushed
+    // Filter — measured 5x the whole stage. Outer + isNotNull keeps the
+    // generator evaluated exactly once per row.
+    val inv = sh.select(col("id"), explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
     val inter = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
@@ -80,7 +118,8 @@ object Sim {
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 8): DataFrame =
-    docs.select(col(idCol).as("id") +: minhashSignature(shingles(col(textCol), n), k): _*)
+    shingled(docs, idCol, textCol, n)
+      .select(col("id") +: minhashSignature(col("shs"), k): _*)
 
   /** LSH candidate pairs + exact-jaccard verification. Bands of `rows`
     * signature elements; band key = md5 of the concatenation. Pairs
@@ -91,21 +130,28 @@ object Sim {
                       n: Int = 3, k: Int = 8, rows: Int = 2,
                       threshold: Double = 0.2): DataFrame = {
     val nBands = k / rows
-    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    val base = shingled(docs, idCol, textCol, n)
       .select(col("id"), col("shs"), struct(minhashSignature(col("shs"), k): _*).as("sig"))
-    val banded = base.select(col("id"), col("shs"),
-      explode(array((0 until nBands).map { b =>
+      .persist() // feeds banding + two shingle-set re-attach joins
+    // band the ids only: the candidate join + distinct shuffles slim
+    // (id, band, bkey) rows — shingle arrays are re-attached afterwards
+    // by two id-keyed joins, never shuffled through the band join
+    val banded = base.select(col("id"),
+      explode_outer(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (1 to rows).map(r => col(s"sig.mh_${b * rows + r}")): _*)).as("bkey"))
       }: _*)).as("bd"))
-      .select(col("id"), col("shs"), col("bd.band"), col("bd.bkey"))
-    val pairs = banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("bd.band"), col("bd.bkey"))
+    val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
-        col("a.shs").as("shs_1"), col("b.shs").as("shs_2"))
-      .dropDuplicates("id_1", "id_2")
-    pairs.select(col("id_1"), col("id_2"),
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .distinct()
+    val shSets = base.select(col("id"), col("shs"))
+    candidates
+      .join(shSets.select(col("id").as("id_1"), col("shs").as("shs_1")), "id_1")
+      .join(shSets.select(col("id").as("id_2"), col("shs").as("shs_2")), "id_2")
+      .select(col("id_1"), col("id_2"),
         round(jaccard(col("shs_1"), col("shs_2")), 6).as("jac"))
       .filter(col("jac") >= threshold)
   }
@@ -122,7 +168,8 @@ object Sim {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tv = docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
+        explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
       .select(col("id"), simhashTokenValue(col("tok")).as("v"))
     val sums = (0 until 32).map(b =>
       sum(shiftright(col("v"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b"))

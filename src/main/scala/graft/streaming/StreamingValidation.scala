@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.constraints.Constraint
+import graft.runner.Runner
+
+/** Streaming execution of the SAME compiled constraint suite.
+  *
+  * The reference exposes every read as both a materializing call and a
+  * one-pass generator (`read` vs `read_iterable`, io.py:668-755). The
+  * Spark twin: [[Runner.violations]] is a pure narrow projection, so the
+  * identical suite runs unchanged over a streaming DataFrame —
+  * micro-batch violations append incrementally, while verdict counts
+  * aggregate per event-time window + partition.
+  *
+  * Scale notes: the violation stream is shuffle-free (projection +
+  * explode); the windowed verdict aggregate is a streaming stateful agg
+  * whose state is keyed by (window, part) — bounded by the watermark, so
+  * state size is |parts| × windows-in-flight, independent of row volume.
+  */
+object StreamingValidation {
+
+  /** File-stream source over a parquet directory of pages. */
+  def pagesStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Violations as an append-mode stream (same semantics as the batch
+    * channel — one row per (input row, failed constraint)).
+    */
+  def violationStream(pages: DataFrame, suite: Seq[Constraint],
+                      keyCols: Seq[String]): DataFrame =
+    Runner.violations(pages, suite, keyCols)
+
+  /** Per-(event-time window, part) violation counts with a watermark —
+    * the streaming verdict feed. Late pages beyond the watermark are
+    * dropped (the reference has no late-data semantics to mirror;
+    * SURVEY §2.11).
+    */
+  def windowedViolationCounts(pages: DataFrame, suite: Seq[Constraint],
+                              tsCol: String = "warc_ts",
+                              watermark: String = "1 hour",
+                              window: String = "1 day"): DataFrame =
+    Runner.violations(pages.withWatermark(tsCol, watermark), suite, Seq(tsCol))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
+        col("part"), col("check_name"))
+      .agg(count(lit(1)).as("violation_count"))
+
+  /** Windowed event aggregation (events table shape): watermark +
+    * tumbling window + per-type counts — the standard streaming agg.
+    */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+                          window: String = "1 hour"): DataFrame =
+    events
+      // parquet event times may arrive as TIMESTAMP_NTZ; watermarks
+      // require TIMESTAMP (session UTC makes the cast a no-op rebase)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+}

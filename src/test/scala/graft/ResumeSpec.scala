@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ckpt.Checkpoint
+import graft.constraints.Constraints
+import graft.gen.Derive
+import graft.io.Tables
+import graft.runner.ValidationRun
+
+/** Checkpoint/resume contract (FIXTURES.md §B.6): resumed run ≡ full run
+  * on all output tables; schema-checked appends; monotonic snapshots.
+  */
+class ResumeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft-resume").toString
+  lazy val pages = Derive.webPages(spark, "/root/testdata/sf0.001")
+
+  private def verdictSet(root: String): Set[String] =
+    ValidationRun.currentVerdicts(spark, root)
+      .select("part", "check_name", "passed", "violation_count", "row_count")
+      .collect().map(_.mkString("|")).toSet
+
+  test("resumed run (half then rest) equals one full run") {
+    val full = tmp(); val split = tmp()
+    ValidationRun.run(spark, pages, Constraints.webtextSuite, full, "r1")
+    // crash simulation: first run only sees partitions 0-3, second the full input
+    ValidationRun.run(spark, pages.filter(col("part") < 4),
+      Constraints.webtextSuite, split, "r1")
+    val rep2 = ValidationRun.run(spark, pages, Constraints.webtextSuite, split, "r1")
+    assert(rep2.partsProcessed == Seq(4, 5, 6, 7), "resume must only process missing partitions")
+    assert(verdictSet(full) == verdictSet(split))
+    assert(Checkpoint.latestSnapshotId(spark, split) == 2L)
+    assert(Checkpoint.completedParts(spark, split) == (0 to 7).toSet)
+  }
+
+  test("re-running a completed root is a no-op") {
+    val root = tmp()
+    ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r1")
+    val again = ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r2")
+    assert(again.partsProcessed.isEmpty && again.rows == 0L)
+  }
+
+  test("append rejects new columns, missing columns, and type changes") {
+    val root = tmp() + "/t"
+    Tables.appendWithSchemaCheck(spark, Seq((1, "a")).toDF("id", "v"), root)
+    Tables.appendWithSchemaCheck(spark, Seq((2, "b")).toDF("id", "v"), root)
+    assert(spark.read.parquet(root).count() == 2)
+    intercept[IllegalArgumentException] {
+      Tables.appendWithSchemaCheck(spark, Seq((3, "c", 1.0)).toDF("id", "v", "extra"), root)
+    }
+    intercept[IllegalArgumentException] {
+      Tables.appendWithSchemaCheck(spark, Seq(Tuple1(4)).toDF("id"), root)
+    }
+    intercept[IllegalArgumentException] {
+      Tables.appendWithSchemaCheck(spark, Seq((5, 6)).toDF("id", "v"), root)
+    }
+  }
+
+  test("append aligns column order to the existing table") {
+    val root = tmp() + "/t2"
+    Tables.appendWithSchemaCheck(spark, Seq((1, "a")).toDF("id", "v"), root)
+    Tables.appendWithSchemaCheck(spark,
+      Seq(("b", 2)).toDF("v", "id"), root) // reversed order, same names/types
+    val got = spark.read.parquet(root).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b")))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.constraints.Constraints
+import graft.gen.Derive
+import graft.mutate.Mutations
+import graft.streaming.StreamingValidation
+
+class StreamMutateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("the same compiled suite runs as a stream; violations match batch") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val pages = Derive.webPages(spark, "/root/testdata/sf0.001")
+    pages.write.mode("overwrite").parquet(dir)
+    val batch = graft.runner.Runner
+      .violations(pages, Constraints.webtextSuite, Seq("doc_id"))
+      .collect().map(_.mkString("|")).sorted
+
+    val stream = StreamingValidation.violationStream(
+      StreamingValidation.pagesStream(spark, dir, pages.schema),
+      Constraints.webtextSuite, Seq("doc_id"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("viol_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("viol_stream").collect().map(_.mkString("|")).sorted
+    assert(got.sameElements(batch))
+  }
+
+  test("windowed event counts with watermark produce per-window totals") {
+    val dir = Files.createTempDirectory("graft-events").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(dir)
+    val s = StreamingValidation.windowedEventCounts(
+      spark.readStream.schema(events.schema).parquet(dir))
+    val q = s.writeStream.format("memory").queryName("ev_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ev_counts")
+    assert(got.count() > 0)
+    val total = got.agg(sum("n")).head().getLong(0)
+    assert(total == events.count())
+  }
+
+  test("conditionalUpdate applies assignments only where cond holds") {
+    val df = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "k", "v")
+    val got = Mutations.conditionalUpdate(df, col("k") === "a",
+      Map("v" -> lit(0.0), "k" -> lit("curated")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1, "curated", 0.0), (2, "b", 20.0)))
+  }
+
+  test("setWithPolicy: overwrite / keep / error-channel semantics") {
+    val df = Seq((1, Some("old")), (2, None)).toDF("id", "v")
+    val (ow, c1) = Mutations.setWithPolicy(df, "v", lit("new"), Mutations.Overwrite)
+    assert(ow.collect().map(_.getString(1)).toSet == Set("new") && c1.isEmpty)
+    val (kp, c2) = Mutations.setWithPolicy(df, "v", lit("new"), Mutations.Keep)
+    assert(kp.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("old", "new") && c2.isEmpty)
+    val (er, c3) = Mutations.setWithPolicy(df, "v", lit("new"), Mutations.ErrorIfExists)
+    assert(er.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "new")))
+    assert(c3.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("swapColumns, rewriteViaMap, toggleFlag, attachLabels") {
+    val df = Seq((1, "s", "o", "x")).toDF("id", "subj", "obj", "flag")
+    val sw = Mutations.swapColumns(df, Seq(("subj", "obj"))).head()
+    assert(sw.getString(1) == "o" && sw.getString(2) == "s")
+    val rw = Mutations.rewriteViaMap(Seq("a", "z").toDF("v"), "v", Map("a" -> "A"))
+      .collect().map(_.getString(0)).toSet
+    assert(rw == Set("A", "z"))
+    val tg = Mutations.toggleFlag(Seq((1, "Not"), (2, null)).toDF("id", "m"), "m", "Not")
+      .orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(tg.toSeq == Seq(None, Some("Not")))
+    val lbl = Mutations.attachLabels(Seq(Tuple1("k1")).toDF("k"),
+      Seq(("k1", "Label")).toDF("k", "name"), "k", "name").head()
+    assert(lbl.getString(1) == "Label")
+  }
+}

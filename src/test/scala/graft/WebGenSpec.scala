@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.WebGen
+
+class WebGenSpec extends SparkSpecBase {
+
+  test("generator is deterministic: same seed → identical rows") {
+    def rows(seed: Long) = WebGen.pages(spark, 2000, seed = seed)
+      .withColumn("html", hex(col("html"))) // binary compares by identity otherwise
+      .collect().map(_.mkString("|")).sorted
+    val a = rows(7L)
+    assert(a.sameElements(rows(7L)))
+    assert(!a.sameElements(rows(8L)))
+  }
+
+  test("skew mode concentrates ~50% of rows on one hot domain") {
+    val df = WebGen.pages(spark, 10000, skew = true)
+      .filter(col("url").startsWith("https://"))
+      .select(split(regexp_replace(col("url"), "https://", ""), "\\.").getItem(0).as("dom"))
+    val top = df.groupBy("dom").count().orderBy(col("count").desc).head()
+    val total = df.count().toDouble
+    assert(top.getString(0) == "d0")
+    assert(top.getLong(1) / total > 0.4 && top.getLong(1) / total < 0.6)
+  }
+
+  test("duplicate urls land in the same table partition (url-hash parts)") {
+    val df = WebGen.pages(spark, 50000)
+    val multiPart = df.filter(col("url").isNotNull)
+      .groupBy("url").agg(countDistinct(col("part")).as("nparts"))
+      .filter(col("nparts") > 1)
+    assert(multiPart.count() == 0)
+  }
+
+  test("violation fractions roughly match the injection moduli") {
+    val n = 20000.0
+    val df = WebGen.pages(spark, 20000).cache()
+    try {
+      val nullUrls = df.filter(col("url").isNull).count()
+      assert(math.abs(nullUrls - n / 97) < n / 97 * 0.2)
+      val badLang = df.filter(col("lang") === "zz").count()
+      assert(math.abs(badLang - n / 89) < n / 89 * 0.2)
+    } finally df.unpersist()
+  }
+}
