@@ -170,6 +170,60 @@ object SparkEntry {
         Seq("event_type"), lit(1.0) / (lit(1.0) + col("value")),
         Confidence.Binomial, negated = col("event_type") === "error")),
 
+    // ===== canonical-write pipeline (io.py:974-1009 format) =====
+    "fmt_canonical" -> ((s, dir) => {
+      val wp = validPages(Derive.webPages(s, dir))
+      graft.io.Formatter.canonicalize(
+        wp, col("url"), dedupOrd, payload = Seq("doc_id"),
+        sortCols = Seq(col("key").asc),
+        exclude = Some(Derive.webPages(s, dir).filter(col("lang") === "zz")),
+        excludeKey = Some(col("url")))
+        .withColumnRenamed("key", "url")
+    }),
+    "fmt_condense" -> ((s, dir) =>
+      graft.io.Formatter.condensable(
+        s.read.parquet(s"$dir/documents.parquet").filter(col("source") === "src3"),
+        Seq("lang", "source"))),
+
+    // ===== scalar-function coverage: JSON, multivalued codec =====
+    "f_json" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "f_multivalued" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("__ws"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws"), 1, 3), "|").as("joined"),
+          size(col("__ws")).cast("long").as("n_tokens"))),
+
+    // ===== group-merge (merge_manual_curations, process.py:999-1027) =====
+    "agg_merge" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("l_returnflag"))), "|").as("flags"),
+          when(countDistinct(col("l_linestatus")) === 1, min(col("l_linestatus")))
+            .otherwise(lit(null).cast("string")).as("status_if_uniform"),
+          count(lit(1)).as("n_members"))),
+
+    // ===== HLL++ distinct stats (scale path; driver rows-only check) =====
+    "m_stats_hll" -> ((s, dir) =>
+      Stats.columnStats(Derive.webPages(s, dir), Seq("url", "lang"), exact = false)
+        .withColumnRenamed("column", "col_name")),
+
+    // ===== row mutations (curate pattern) + same-text normalization =====
+    "mut_update" -> ((s, dir) =>
+      graft.mutate.Mutations.conditionalUpdate(
+        s.read.parquet(s"$dir/events.parquet"),
+        col("event_type") === "error",
+        Map("value" -> lit(0.0), "event_type" -> lit("curated")))
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))),
+    "f_normtext" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          md5(QueryDsl.normText(col("text"))).as("norm_md5"))),
+
     // ===== general relational coverage (TPC-H-ish) =====
     "q1_agg" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -421,6 +475,47 @@ object SparkEntry {
     "q_count_unique" ->
       """SELECT CAST(count(DISTINCT entity) AS BIGINT) AS n_unique
         |FROM (SELECT unnest([l_partkey, l_suppkey]) AS entity FROM lineitem) t""".stripMargin,
+    "mut_update" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'error' THEN 'curated' ELSE event_type END AS event_type,
+        |  round(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END, 2) AS value
+        |FROM events""".stripMargin,
+    "f_normtext" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '[ -]', '', 'g'))) AS norm_md5
+        |FROM documents""".stripMargin,
+    "fmt_canonical" ->
+      s"""${Derive.duckCte}
+         |SELECT url, doc_id FROM (
+         |  SELECT url, doc_id,
+         |         row_number() OVER (PARTITION BY url
+         |           ORDER BY COALESCE(ts_epoch, -1) DESC, doc_id ASC) AS rn
+         |  FROM web_pages w
+         |  WHERE $validUrlWhere
+         |    AND NOT EXISTS (SELECT 1 FROM web_pages x
+         |                    WHERE x.lang = 'zz' AND x.url = w.url)
+         |) t WHERE rn = 1""".stripMargin,
+    "fmt_condense" ->
+      """WITH f AS (SELECT * FROM documents WHERE source = 'src3'),
+        |c AS (
+        |  SELECT 'lang' AS col_name, count(DISTINCT lang) AS n, min(lang) AS value FROM f
+        |  UNION ALL
+        |  SELECT 'source', count(DISTINCT source), min(source) FROM f
+        |)
+        |SELECT col_name, value FROM c WHERE n = 1""".stripMargin,
+    "f_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "f_multivalued" ->
+      """SELECT doc_id,
+        |  array_to_string((list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))[1:3], '|') AS joined,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "agg_merge" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list_distinct(list(l_returnflag))), '|') AS flags,
+        |  CASE WHEN count(DISTINCT l_linestatus) = 1 THEN min(l_linestatus) END AS status_if_uniform,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -95,6 +95,19 @@ final case class Implies(name: String, whenExpr: Column, thenOk: Column, detailM
     detail = lit(detailMsg))
 }
 
+/** Type-coercion check: a non-null string that casts to NULL in the
+  * target type is a coercion failure — the "cast produced null from
+  * non-null input" pattern (reference: pydantic coercion with per-line
+  * errors, models.py:94-146 + io.py:894-907).
+  */
+final case class Coercible(name: String, column: String, targetType: String) extends Constraint {
+  def compile: RowConstraint = RowConstraint(
+    name, "raw",
+    applicable = col(column).isNotNull && col(column) =!= "",
+    ok = col(column).try_cast(targetType).isNotNull, // try_cast: ANSI-safe null-on-failure
+    detail = col(column))
+}
+
 /** Escape hatch for fully custom checks. */
 final case class Custom(name: String, stage: String, applicable: Column, ok: Column, detail: Column)
     extends Constraint {

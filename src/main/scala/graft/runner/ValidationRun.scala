@@ -30,6 +30,7 @@ object ValidationRun {
   def violationsPath(root: String) = s"$root/violations"
   def verdictsPath(root: String) = s"$root/verdicts"
   def metricsPath(root: String) = s"$root/metrics"
+  def lineagePath(root: String) = s"$root/run_lineage"
 
   /** Run the suite over all partitions not yet checkpointed under `root`.
     * `statsColumns` get a per-partition stats row each.
@@ -60,6 +61,17 @@ object ValidationRun {
 
       val rows = batch.count()
       val snap = Checkpoint.commit(spark, root, runId, parts)
+
+      // per-partition lineage rows (north rule): which run + snapshot
+      // processed which partition, with its row count — the audit trail a
+      // resumed run extends
+      import spark.implicits._
+      val lineage = batch.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+        .withColumn("run_id", lit(runId))
+        .withColumn("snapshot_id", lit(snap))
+        .withColumn("committed_at", current_timestamp())
+      Tables.appendWithSchemaCheck(spark, lineage, lineagePath(root))
+
       Report(runId, snap, parts, rows)
     } finally batch.unpersist()
   }

@@ -1,0 +1,34 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Declared dynamic extra columns with typed casts — the reference's
+  * extension-slot mechanism (reference: src/sssom_pydantic/api.py:818-867
+  * `ExtensionDefinition` with an XSD type hint per slot, values parsed by
+  * the declared datatype api.py:734-754, name collisions with built-in
+  * columns rejected io.py:874-880).
+  */
+object ExtensionSlots {
+
+  final case class Slot(name: String, sparkType: String)
+
+  /** Built-in columns an extension may never shadow. */
+  val CoreColumns: Set[String] =
+    Set("url", "warc_ts", "html", "text", "lang", "part", "doc_id")
+
+  /** Validate declarations (collision + duplicate check) and cast each
+    * declared column to its type. Missing columns are an error — slots
+    * are declared because the data carries them.
+    */
+  def applySlots(df: DataFrame, slots: Seq[Slot]): DataFrame = {
+    val dupes = slots.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dupes.isEmpty, s"duplicate extension slots: ${dupes.mkString(", ")}")
+    val collisions = slots.map(_.name).filter(CoreColumns.contains)
+    require(collisions.isEmpty,
+      s"extension slots shadow built-in columns: ${collisions.mkString(", ")}")
+    val missing = slots.map(_.name).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"declared slots absent from data: ${missing.mkString(", ")}")
+    slots.foldLeft(df)((d, s) => d.withColumn(s.name, col(s.name).cast(s.sparkType)))
+  }
+}
