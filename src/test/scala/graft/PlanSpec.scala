@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make the engine
+  * scale are asserted on the plan itself, so a refactor that silently
+  * loses pushdown / adds a shuffle / drops a broadcast fails CI.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+  def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("violations channel is shuffle-free (pure projection + generate)") {
+    val p = planOf("violations")
+    assert(!p.contains("Exchange"), s"violations must not shuffle:\n$p")
+  }
+
+  test("verdict grid is one partial+final aggregate (exactly one shuffle)") {
+    val p = planOf("verdicts")
+    assert("Exchange".r.findAllIn(p).size == 1, s"verdicts must shuffle once:\n$p")
+    assert(p.contains("partial_"), "map-side partial aggregation missing")
+  }
+
+  test("dedup arg-max partially aggregates before its shuffle") {
+    val p = planOf("dedup_url")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_max_by")
+    assert(partialIdx >= 0, s"partial max_by missing:\n$p")
+    assert(exchangeIdx >= 0 && p.indexOf("max_by", exchangeIdx) >= 0)
+  }
+
+  test("referential-integrity anti join broadcasts the parent keys") {
+    val p = planOf("ri_dangling")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("filters and projection reach the parquet scan (q1)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_tax"), "unused columns must be pruned from the scan")
+  }
+
+  test("brute-force knn broadcasts the query side") {
+    val p = planOf("emb_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("top-k collapses to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.query.SetOps
+import graft.text.TextOps
+
+/** ScalaCheck properties (SURVEY §5 plan): dedup idempotence, salted ≡
+  * plain, venn partition completeness, fingerprint determinism.
+  * Case count kept small — every case runs Spark jobs.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpecBase.session
+  import spark.implicits._
+
+  private val rowGen = for {
+    key <- Gen.oneOf("a", "b", "c", "d", "hot")
+    id <- Gen.choose(0L, 1000L)
+    score <- Gen.choose(0, 9)
+  } yield (key, id, score)
+
+  private val rowsGen = Gen.nonEmptyListOf(rowGen)
+
+  property("dedup is idempotent and salted variant is identical") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "id", "score")
+      val ord = struct(col("score"), col("id"))
+      val once = Dedup.uniqueByKey(df, col("k"), ord, Seq("id", "score"))
+      val a = once.collect().map(_.mkString("|")).toSet
+      val again = Dedup.uniqueByKey(
+        once.withColumnRenamed("key", "k"), col("k"),
+        struct(col("score"), col("id")), Seq("id", "score"))
+        .collect().map(_.mkString("|")).toSet
+      val salted = Dedup.uniqueByKeySalted(df, col("k"), ord, Seq("id", "score"), 4)
+        .collect().map(_.mkString("|")).toSet
+      a == again && a == salted && a.size == rows.map(_._1).distinct.size
+    }
+
+  property("venn split covers the union exactly once") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 30)), Gen.listOf(Gen.choose(0, 30))) { (l, r) =>
+      val sides = SetOps.vennSplit(l.toDF("k"), r.toDF("k"), "k").collect()
+        .map(x => x.getInt(0) -> x.getString(1)).toMap
+      sides.keySet == (l.toSet ++ r.toSet) &&
+        sides.forall { case (k, side) =>
+          side match {
+            case "both" => l.contains(k) && r.contains(k)
+            case "left_only" => l.contains(k) && !r.contains(k)
+            case "right_only" => !l.contains(k) && r.contains(k)
+          }
+        }
+    }
+
+  property("fingerprint is a pure function of the token sequence") =
+    Prop.forAll(Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "42"))) { words =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text), (2L, text), (3L, text.reverse)).toDF("doc_id", "text")
+      val m = TextOps.fingerprints(df, "text").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      m(1L) == m(2L)
+    }
+}
