@@ -38,12 +38,17 @@ object WebGen {
     val domRaw = h(seed + 1, d) % 1000
     val domain = if (skew) when(h(seed + 2, d) % 2 === 0, lit(0L)).otherwise(domRaw) else domRaw
 
-    // ~1% duplicate urls: point at another doc in the same domain bucket
+    // ~1% duplicate urls: point at another doc in the same domain bucket.
+    // skew mode additionally makes ~10% of ALL rows share ONE hot url —
+    // the pathological dedup key the salted two-phase variant exists for.
     val urlDoc = when(d % 101 === 13, d - 1000).otherwise(d)
     val baseUrl = concat(lit("https://d"), domain, lit(".example.org/p/"), urlDoc)
-    val url = when(d % 97 === 3, lit(null).cast("string"))
+    val urlNoSkew = when(d % 97 === 3, lit(null).cast("string"))
       .when(d % 97 === 5, concat(lit("bad url "), d))
       .otherwise(baseUrl)
+    val url = if (skew)
+      when(d % 10 === 3, lit("https://dhot.example.org/p/hot")).otherwise(urlNoSkew)
+    else urlNoSkew
 
     val tsEpoch = when(d % 103 === 9, lit(null).cast("long"))
       .when(d % 101 === 7, lit(1750000000L))
