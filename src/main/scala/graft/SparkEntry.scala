@@ -112,6 +112,12 @@ object SparkEntry {
     "digest" -> ((s, dir) =>
       Derive.webPages(s, dir)
         .select(col("part"), col("doc_id"), col("url"), md5(col("text")).as("text_md5"))),
+    // reference-faithful FNV-1a digest (custom codegen expression; no SQL
+    // oracle — golden vectors in Fnv64Spec are the cross-check)
+    "digest_fnv" -> ((s, dir) =>
+      Derive.webPages(s, dir)
+        .select(col("doc_id"), col("url"),
+          graft.checks.Invariants.textDigest(col("text")).as("fnv64_hex"))),
     "digest_changed" -> ((s, dir) => {
       val cur = Derive.webPages(s, dir)
       Invariants.digestChanged(cur, mutatedBaseline(cur),
