@@ -62,6 +62,21 @@ object SparkEntry {
     "verdicts" -> ((s, dir) =>
       Runner.verdicts(Derive.webPages(s, dir), Constraints.webtextSuite)),
 
+    // ===== dataset-level checks folded into the same shapes =====
+    "v_unique" -> ((s, dir) =>
+      graft.checks.DatasetChecks.uniquenessViolations(
+        validPages(Derive.webPages(s, dir)), dedupOrd)),
+    "verdicts_full" -> ((s, dir) => {
+      val wp = Derive.webPages(s, dir)
+      val valid = validPages(wp)
+      val dsViol = graft.checks.DatasetChecks.uniquenessViolations(valid, dedupOrd)
+        .unionByName(graft.checks.DatasetChecks.riViolations(valid, Derive.lineage(s, dir)))
+      val pc = valid.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+      Runner.verdicts(wp, Constraints.webtextSuite)
+        .unionByName(graft.checks.DatasetChecks.verdictsFromViolations(
+          dsViol, pc, Seq("url_unique", "url_lineage")))
+    }),
+
     // ===== per-partition column statistics (condensation pass analogue) =====
     "m_stats" -> ((s, dir) =>
       Stats.columnStats(Derive.webPages(s, dir), Seq("url", "lang"), exact = true)
@@ -350,6 +365,52 @@ object SparkEntry {
          |       pc.row_count
          |FROM pc CROSS JOIN cons
          |LEFT JOIN vc ON vc.part = pc.part AND vc.check_name = cons.check_name""".stripMargin,
+    "v_unique" ->
+      s"""${Derive.duckCte}
+         |SELECT part, doc_id, url, 'url_unique' AS check_name,
+         |       'duplicate_of_' || keep AS detail, 'processing' AS stage
+         |FROM (
+         |  SELECT part, doc_id, url,
+         |         first_value(doc_id) OVER (PARTITION BY url
+         |           ORDER BY COALESCE(ts_epoch, -1) DESC, doc_id ASC) AS keep
+         |  FROM web_pages WHERE $validUrlWhere
+         |) t WHERE doc_id <> keep""".stripMargin,
+    "verdicts_full" ->
+      s"""${Derive.duckCte},
+         |v AS ($violationsUnion),
+         |pc AS (SELECT part, CAST(count(*) AS BIGINT) AS row_count FROM web_pages GROUP BY part),
+         |cons AS (SELECT * FROM (VALUES ('url_required'),('url_shape'),('warc_ts_required'),
+         |  ('warc_ts_window'),('lang_enum'),('text_required'),('html_text_crossfield'),
+         |  ('text_len_max')) c(check_name)),
+         |vc AS (SELECT part, check_name, CAST(count(*) AS BIGINT) AS violation_count
+         |       FROM v GROUP BY 1, 2),
+         |valid AS (SELECT * FROM web_pages WHERE $validUrlWhere),
+         |pcv AS (SELECT part, CAST(count(*) AS BIGINT) AS row_count FROM valid GROUP BY part),
+         |uq AS (SELECT part, CAST(count(*) AS BIGINT) AS violation_count FROM (
+         |  SELECT part, doc_id,
+         |         first_value(doc_id) OVER (PARTITION BY url
+         |           ORDER BY COALESCE(ts_epoch, -1) DESC, doc_id ASC) AS keep
+         |  FROM valid) t WHERE doc_id <> keep GROUP BY part),
+         |ri AS (SELECT part, CAST(count(*) AS BIGINT) AS violation_count
+         |  FROM valid w WHERE NOT EXISTS (SELECT 1 FROM lineage l WHERE l.url = w.url)
+         |  GROUP BY part),
+         |dscons AS (SELECT * FROM (VALUES ('url_unique'),('url_lineage')) c(check_name))
+         |SELECT pc.part, cons.check_name,
+         |       COALESCE(vc.violation_count, 0) = 0 AS passed,
+         |       CAST(COALESCE(vc.violation_count, 0) AS BIGINT) AS violation_count,
+         |       pc.row_count
+         |FROM pc CROSS JOIN cons
+         |LEFT JOIN vc ON vc.part = pc.part AND vc.check_name = cons.check_name
+         |UNION ALL
+         |SELECT pcv.part, dscons.check_name,
+         |       COALESCE(d.violation_count, 0) = 0 AS passed,
+         |       CAST(COALESCE(d.violation_count, 0) AS BIGINT) AS violation_count,
+         |       pcv.row_count
+         |FROM pcv CROSS JOIN dscons
+         |LEFT JOIN (SELECT 'url_unique' AS check_name, part, violation_count FROM uq
+         |           UNION ALL
+         |           SELECT 'url_lineage', part, violation_count FROM ri) d
+         |  ON d.part = pcv.part AND d.check_name = dscons.check_name""".stripMargin,
     "m_stats" ->
       s"""${Derive.duckCte}
          |${statsColOracle("url")}
