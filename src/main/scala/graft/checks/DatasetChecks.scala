@@ -29,10 +29,14 @@ object DatasetChecks {
         lit("processing").as("stage"))
   }
 
-  /** Dangling-lineage rows in violation shape. */
-  def riViolations(pages: DataFrame, lineage: DataFrame): DataFrame =
+  /** Dangling-lineage rows in violation shape. Broadcast the lineage
+    * keys only when they fit an executor (driver-data scale); at full
+    * scale pass false → shuffled sort-merge anti join.
+    */
+  def riViolations(pages: DataFrame, lineage: DataFrame,
+                   broadcastParent: Boolean = true): DataFrame =
     Dedup.danglingRows(pages.select("part", "doc_id", "url"), lineage, "url",
-        broadcastParent = true)
+        broadcastParent = broadcastParent)
       .select(col("part"), col("doc_id"), col("url"),
         lit("url_lineage").as("check_name"),
         lit("no_fetch_record").as("detail"),
