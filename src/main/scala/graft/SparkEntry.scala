@@ -342,8 +342,8 @@ object SparkEntry {
   private def klPsiOracle(joined: String): String =
     s"""j AS ($joined),
        |t AS (SELECT sum(c_p) AS t_p, sum(c_q) AS t_q FROM j)
-       |SELECT round(sum((c_p / t_p) * ln((c_p / t_p) / (c_q / t_q))), 6) AS kl,
-       |       round(sum(((c_p / t_p) - (c_q / t_q)) * ln((c_p / t_p) / (c_q / t_q))), 6) AS psi
+       |SELECT round(sum((c_p / t_p) * ln((c_p / t_p) / (c_q / t_q))), 6) + 0.0 AS kl,
+       |       round(sum(((c_p / t_p) - (c_q / t_q)) * ln((c_p / t_p) / (c_q / t_q))), 6) + 0.0 AS psi
        |FROM j, t""".stripMargin
 
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(

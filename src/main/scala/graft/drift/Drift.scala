@@ -50,8 +50,10 @@ object Drift {
         (col("c_p") / col("t_p")).as("p"),
         (col("c_q") / col("t_q")).as("q"))
       .agg(
-        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"),
-        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+        // + 0.0 normalizes IEEE -0.0 (a tiny negative sum rounding to
+        // zero) so engines can't disagree on the zero's sign
+        (round(sum(col("p") * log(col("p") / col("q"))), 6) + 0.0).as("kl"),
+        (round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6) + 0.0).as("psi"))
   }
 
   /** Drift verdict row: fails when PSI exceeds `psiThreshold`
