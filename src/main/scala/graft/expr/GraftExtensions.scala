@@ -1,0 +1,50 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same codegen'd primitives as the Column API
+  * (`fnv64(col)`, `fnv64_hex(col)`, `cosine_sim(a, b)`).
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or config: spark.sql.extensions=graft.expr.GraftExtensions
+  */
+object GraftExtensions {
+  /** Register the same functions on an already-running session (the
+    * builder-time extension path can't attach to an existing context).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge.registerFunction
+    registerFunction(spark, "fnv64", args => Fnv64(args.head))
+    registerFunction(spark, "fnv64_hex", args =>
+      org.apache.spark.sql.catalyst.expressions.Hex(Fnv64(args.head)))
+    registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      info("fnv64", "fnv64(expr) - FNV-1a 64-bit digest as 8 little-endian bytes"),
+      (args: Seq[Expression]) => Fnv64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fnv64_hex"),
+      info("fnv64_hex", "fnv64_hex(expr) - FNV-1a 64 digest, uppercase hex"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Hex(Fnv64(args.head))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+  }
+}

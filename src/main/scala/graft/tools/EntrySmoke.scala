@@ -18,6 +18,10 @@ object EntrySmoke {
     val n = df.count()
     df.show(12, truncate = false)
     println(s"[entry-smoke] rows=$n " + (if (n > 0) "OK" else "EMPTY!"))
+    graft.expr.GraftExtensions.register(spark)
+    val hex = spark.sql("SELECT fnv64_hex('hello') AS h").head().getString(0)
+    println(s"[entry-smoke] sql fnv64_hex('hello')=$hex " +
+      (if (hex == "0BBDAA8046D830A4") "OK" else "MISMATCH!"))
     spark.stop()
     if (n <= 0) sys.exit(1)
   }

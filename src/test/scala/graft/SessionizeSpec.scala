@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = new Timestamp(1767225600000L + m * 60000L)
+
+  val events = Seq(
+    Event(1L, ts(0), "click"), Event(1L, ts(1), "view"),   // session A (user 1)
+    Event(1L, ts(30), "click"),                            // session B after 29m gap
+    Event(2L, ts(5), "view"))                              // session (user 2, stays open)
+
+  test("flatMapGroupsWithState closes sessions on gap; open sessions stay in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, mem.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[Session].collect()
+    q.stop()
+    // only user 1's first session closed (gap exceeded); the rest are live state
+    assert(closed.toSeq == Seq(Session(1L, ts(0), ts(1), 2)))
+  }
+
+  test("stateful sessions match the batch window oracle on closed sessions") {
+    val batch = Sessionize.sessionsBatch(spark, spark.createDataset(events), 10 * 60000L)
+      .collect().toSet
+    // batch computes ALL sessions (incl. the ones streaming keeps open)
+    assert(batch == Set(
+      Session(1L, ts(0), ts(1), 2),
+      Session(1L, ts(30), ts(30), 1),
+      Session(2L, ts(5), ts(5), 1)))
+  }
+}
