@@ -35,4 +35,53 @@ object Invariants {
     cur.join(base, keyCols, "inner")
       .filter(col("digest_current") =!= col("digest_baseline"))
   }
+
+  /** The cross-run invariant pass: compute FNV-64 digests for the batch,
+    * compare against every digest previously stored under `root` (a url's
+    * digest must NEVER change), return the violation rows in the standard
+    * shape, and append the current digests for future runs.
+    *
+    * Only (url, 16-char digest, part) ever moves through the comparison
+    * join — never the text.
+    *
+    * RESUME CORRECTNESS REQUIRES URL-CO-PARTITIONED INPUT (north rule:
+    * partition by url-hash, as WebGen does): resumed runs process
+    * disjoint table partitions, and the canonical min-digest per url is
+    * computed per batch — a url spanning partitions would store
+    * conflicting canonical digests across batches and report spurious
+    * changes (SURVEY §7.4 "partition must mean the table's partition
+    * column" hazard, observable with the doc_id-partitioned Derive table).
+    */
+  def checkAndStoreDigests(spark: org.apache.spark.sql.SparkSession,
+                           batch: DataFrame, root: String, runId: String): DataFrame = {
+    import graft.io.Tables
+    val path = s"$root/digests"
+    // one CANONICAL digest per url (min over duplicates, deterministic):
+    // divergent duplicate urls are the uniqueness check's finding, not a
+    // digest-invariant break — the invariant is about the url's canonical
+    // text changing across runs
+    val cur = batch.filter(col("url").isNotNull)
+      .select(col("part"), col("url"), textDigest(col("text")).as("digest"))
+      .groupBy(col("url"))
+      .agg(min(col("part")).as("part"), min(col("digest")).as("digest"))
+      .select(col("part"), col("url"), col("digest"))
+    val violations =
+      if (Tables.exists(spark, path)) {
+        val prev = Tables.read(spark, path)
+          .select(col("url"), col("digest").as("digest_prev")).distinct()
+        cur.join(prev, Seq("url"))
+          .filter(col("digest") =!= col("digest_prev"))
+          .select(col("part"), col("url"),
+            lit("text_digest").as("check_name"),
+            concat(col("digest_prev"), lit("->"), col("digest")).as("detail"),
+            lit("processing").as("stage"))
+      } else cur.limit(0).select(col("part"), col("url"),
+        lit("text_digest").as("check_name"), lit("").as("detail"),
+        lit("processing").as("stage"))
+    val out = violations.withColumn("run_id", lit(runId)).persist()
+    out.count() // materialize BEFORE appending new digests below
+    Tables.appendWithSchemaCheck(spark,
+      cur.withColumn("run_id", lit(runId)), path)
+    out
+  }
 }

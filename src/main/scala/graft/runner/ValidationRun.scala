@@ -59,6 +59,18 @@ object ValidationRun {
         .withColumn("run_id", lit(runId))
       Tables.appendWithSchemaCheck(spark, stats, metricsPath(root))
 
+      val lenHist = Stats.lengthHistogram(batch, "text")
+        .withColumn("run_id", lit(runId))
+      Tables.appendWithSchemaCheck(spark, lenHist, s"$root/len_hist")
+
+      // cross-run row invariant: byte-identical text per url
+      // (BASELINE.json::input_hint); changed digests append to the same
+      // violations table as the row constraints
+      val digViol = graft.checks.Invariants.checkAndStoreDigests(spark, batch, root, runId)
+      val digTarget = if (keyCols == Seq("url")) violationsPath(root)
+        else s"$root/digest_violations" // key shapes differ: keep own table
+      Tables.appendWithSchemaCheck(spark, digViol, digTarget)
+
       val rows = batch.count()
       val snap = Checkpoint.commit(spark, root, runId, parts)
 

@@ -35,6 +35,25 @@ class ResumeSpec extends SparkSpecBase {
     assert(Checkpoint.completedParts(spark, split) == (0 to 7).toSet)
   }
 
+  test("digest invariant: mutated text is detected on the next run") {
+    val root = tmp()
+    ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r1")
+    val v1 = spark.read.parquet(ValidationRun.violationsPath(root))
+      .filter(col("check_name") === "text_digest")
+    assert(v1.count() == 0, "first run has no stored digests to contradict")
+    val mutated = pages.withColumn("text",
+      when(col("doc_id") % 113 === 44, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val viol = graft.checks.Invariants
+      .checkAndStoreDigests(spark, mutated, root, "r2")
+    val changed = viol.collect()
+    assert(changed.nonEmpty && changed.forall(_.getString(2) == "text_digest"))
+    // every flagged row is one of the tampered urls
+    val tamperedUrls = mutated.filter(col("doc_id") % 113 === 44 && col("url").isNotNull)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(changed.map(_.getString(1)).toSet.subsetOf(tamperedUrls))
+  }
+
   test("re-running a completed root is a no-op") {
     val root = tmp()
     ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r1")
