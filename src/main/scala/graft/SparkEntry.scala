@@ -184,11 +184,11 @@ object SparkEntry {
     // ===== confidence aggregation algebra (process.py:472-568) =====
     "conf_mean" -> ((s, dir) =>
       Confidence.aggregate(s.read.parquet(s"$dir/events.parquet"),
-        Seq("event_type"), lit(1.0) / (lit(1.0) + col("value")),
+        Seq("event_type"), lit(1.0) / (lit(1.5) + col("value")),
         Confidence.Mean, negated = col("event_type") === "error")),
     "conf_noisyor" -> ((s, dir) =>
       Confidence.aggregate(s.read.parquet(s"$dir/events.parquet"),
-        Seq("event_type"), lit(1.0) / (lit(1.0) + col("value")),
+        Seq("event_type"), lit(1.0) / (lit(1.5) + col("value")),
         Confidence.Binomial, negated = col("event_type") === "error")),
 
     // ===== canonical-write pipeline (io.py:974-1009 format) =====
@@ -244,6 +244,20 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           md5(QueryDsl.normText(col("text"))).as("norm_md5"))),
+
+    // ===== point lookup (get_mapping key probe, repo.py:127-141) =====
+    "q_lookup" -> ((s, dir) =>
+      Derive.webPages(s, dir)
+        .filter(col("url") === "https://ex0.org/doc/42")
+        .select("part", "doc_id", "url", "lang")),
+
+    // ===== symmetric canonical key (get_canonical_tuple, process.py:150-153) =====
+    "agg_symmetric_key" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(
+          least(col("l_partkey"), col("l_suppkey")).as("k1"),
+          greatest(col("l_partkey"), col("l_suppkey")).as("k2"))
+        .agg(count(lit(1)).as("n"))),
 
     // ===== general relational coverage (TPC-H-ish) =====
     "q1_agg" -> ((s, dir) => {
@@ -507,13 +521,13 @@ object SparkEntry {
     "conf_mean" ->
       """SELECT event_type,
         |  round(avg(CASE WHEN event_type = 'error'
-        |    THEN 1 - 1.0 / (1.0 + value) ELSE 1.0 / (1.0 + value) END), 6) AS confidence,
+        |    THEN 1 - 1.0 / (1.5 + value) ELSE 1.0 / (1.5 + value) END), 6) AS confidence,
         |  CAST(count(*) AS BIGINT) AS n_evidence
         |FROM events GROUP BY event_type""".stripMargin,
     "conf_noisyor" ->
       """SELECT event_type,
         |  round(1 - exp(sum(ln(1 - CASE WHEN event_type = 'error'
-        |    THEN 1 - 1.0 / (1.0 + value) ELSE 1.0 / (1.0 + value) END))), 6) AS confidence,
+        |    THEN 1 - 1.0 / (1.5 + value) ELSE 1.0 / (1.5 + value) END))), 6) AS confidence,
         |  CAST(count(*) AS BIGINT) AS n_evidence
         |FROM events GROUP BY event_type""".stripMargin,
     "q3_join" ->
@@ -542,6 +556,15 @@ object SparkEntry {
     "q_count_unique" ->
       """SELECT CAST(count(DISTINCT entity) AS BIGINT) AS n_unique
         |FROM (SELECT unnest([l_partkey, l_suppkey]) AS entity FROM lineitem) t""".stripMargin,
+    "q_lookup" ->
+      s"""${Derive.duckCte}
+         |SELECT part, doc_id, url, lang FROM web_pages
+         |WHERE url = 'https://ex0.org/doc/42'""".stripMargin,
+    "agg_symmetric_key" ->
+      """SELECT least(l_partkey, l_suppkey) AS k1,
+        |       greatest(l_partkey, l_suppkey) AS k2,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "mut_update" ->
       """SELECT event_id,
         |  CASE WHEN event_type = 'error' THEN 'curated' ELSE event_type END AS event_type,

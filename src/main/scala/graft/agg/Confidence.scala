@@ -24,15 +24,18 @@ object Confidence {
   def effective(conf: Column, negated: Column): Column =
     when(coalesce(negated, lit(false)), lit(1.0) - conf).otherwise(conf)
 
-  /** Aggregate confidences per group. `conf` must be in [0, 1); clamp
-    * upstream if 1.0 can occur (ln(0) = -inf).
+  /** Aggregate confidences per group. `conf` ∈ [0, 1]; a certain
+    * evidence (c = 1) makes the noisy-or exactly 1 (its mathematical
+    * limit) rather than tripping ln(0).
     */
   def aggregate(df: DataFrame, groupCols: Seq[String], conf: Column,
                 model: Model, negated: Column = lit(false)): DataFrame = {
     val c = effective(conf, negated)
     val agg = model match {
       case Mean => avg(c)
-      case Binomial => lit(1.0) - exp(sum(log(lit(1.0) - c)))
+      case Binomial =>
+        when(max(c) >= 1.0, lit(1.0))
+          .otherwise(lit(1.0) - exp(sum(log(lit(1.0) - c))))
     }
     df.groupBy(groupCols.map(col): _*)
       .agg(round(agg, 6).as("confidence"), count(lit(1)).as("n_evidence"))

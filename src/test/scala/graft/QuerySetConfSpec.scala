@@ -67,6 +67,10 @@ class QuerySetConfSpec extends SparkSpecBase {
       Seq(("t", 0.8, true)).toDF("g", "c", "neg"),
       Seq("g"), col("c"), Confidence.Mean, negated = col("neg")).head()
     assert(math.abs(neg.getDouble(1) - 0.2) < 1e-9)
+    val certain = Confidence.aggregate(
+      Seq(("t", 1.0, false), ("t", 0.5, false)).toDF("g", "c", "neg"),
+      Seq("g"), col("c"), Confidence.Binomial).head()
+    assert(certain.getDouble(1) == 1.0) // noisy-or limit at c = 1, no ln(0)
     val blend = Seq((0.6, 1.0)).toDF("c", "r")
       .select(Confidence.reviewerBlend(col("c"), col("r"), 0.5)).head().getDouble(0)
     assert(blend == 0.8) // 0.5*0.6 + 0.5*1.0
