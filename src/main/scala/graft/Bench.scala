@@ -1,13 +1,35 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Driver-run benchmark: one JSON line with per-query wall seconds over
   * SPARK_GRAFT_SF_DIR. Each query gets one untimed warm-up execution
   * first (JIT + codegen + parquet footer caching), so the timed pass
   * measures the plan, not JVM startup.
+  *
+  * Methodology (changed in round 2, noted in BENCH/BASELINE.md):
+  *  - Results are forced with `sum(xxhash64(all columns))`, not
+  *    `.count()`: a count lets Catalyst prune every column the count
+  *    doesn't need, so projection-only queries (digest, t_*, signatures)
+  *    would skip the very compute being measured.
+  *  - The cache is cleared after the warm-up pass and after each timed
+  *    query: operators that persist() intermediates (the sim_* shingle
+  *    tables) must rebuild them in the timed run instead of silently
+  *    reusing warm-up blocks, and cached blocks can't accumulate across
+  *    the suite and skew later queries (CacheManager matches by logical
+  *    plan, so re-invocations WOULD otherwise hit the warm-up's cache).
   */
 object Bench {
+
+  /** Evaluate every output column of `df` (hash-combine then sum). */
+  def force(df: DataFrame): Unit = {
+    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(sum(col("__h")))
+      .collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,14 +43,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name => // warm-up pass
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try force(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => }
     }
+    spark.catalog.clearCache()
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try force(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,12 +24,28 @@ object Mutations {
 
   /** Batch conditional update (the `curate` pattern, process.py:206-261):
     * where `cond` holds, apply every assignment; other rows pass through.
+    *
+    * One `select` over the original row — `cond` and every assignment
+    * value are evaluated against the INPUT columns, like the reference's
+    * `model_copy(update=...)` which reads the old record and writes a new
+    * one. (A `withColumn` fold would instead let an assignment that
+    * overwrites a column referenced by `cond` change the condition seen
+    * by later assignments, making results depend on Map iteration order.)
+    * Assignments to columns not present in `df` are appended (null where
+    * `cond` is false).
     */
   def conditionalUpdate(df: DataFrame, cond: Column,
-                        assignments: Map[String, Column]): DataFrame =
-    assignments.foldLeft(df) { case (d, (name, value)) =>
-      d.withColumn(name, when(cond, value).otherwise(col(name)))
+                        assignments: Map[String, Column]): DataFrame = {
+    val existing = df.columns.map { c =>
+      assignments.get(c)
+        .map(v => when(cond, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
     }
+    val appended = assignments.view.filterKeys(!df.columns.contains(_)).toSeq
+      .sortBy(_._1)
+      .map { case (c, v) => when(cond, v).as(c) }
+    df.select(existing ++ appended: _*)
+  }
 
   /** Set a column under an exists_action policy (the review/publish
     * stamping pattern). With [[ErrorIfExists]], conflicting rows are

@@ -81,7 +81,11 @@ object Sim {
     // persist: the shingle table feeds both self-join sides AND both
     // size joins — uncached, Spark re-evaluates the tokenize+shingle+hash
     // pipeline four times (at 100 TB this would be a materialized index
-    // table; here MEMORY_AND_DISK is the same idea in-session)
+    // table; here MEMORY_AND_DISK is the same idea in-session).
+    // LIFETIME: the blocks live until the caller drops them — a
+    // long-lived driver session invoking this repeatedly should
+    // `spark.catalog.clearCache()` (or unpersist) after materializing
+    // the result, as Bench/Verify do between queries.
     val sh = shingled(docs, idCol, textCol, n)
       .select(col("id"), array_distinct(transform(col("shs"), shingleHash(_))).as("shs"))
       .persist()

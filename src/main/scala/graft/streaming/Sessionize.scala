@@ -60,8 +60,11 @@ object Sessionize {
     events.toDF()
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
+        // unix_millis, not cast("long")*1000: the stateful path compares
+        // millisecond getTime values, and a seconds-truncating oracle
+        // sessionizes sub-second gaps differently
         when(col("prev").isNull ||
-          col("ts").cast("long") * 1000 - col("prev").cast("long") * 1000 > gapMs, 1)
+          unix_millis(col("ts")) - unix_millis(col("prev")) > gapMs, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -38,15 +38,34 @@ object StreamingValidation {
     * the streaming verdict feed. Late pages beyond the watermark are
     * dropped (the reference has no late-data semantics to mirror;
     * SURVEY §2.11).
+    *
+    * COVERAGE GAP, by construction: rows with a NULL event time — exactly
+    * the `warc_ts_required` check's output — cannot be placed in an
+    * event-time window and are EXCLUDED here (the filter makes that
+    * explicit rather than letting the window silently drop them). Run
+    * [[nullTsViolationCounts]] alongside to keep those violations counted.
     */
   def windowedViolationCounts(pages: DataFrame, suite: Seq[Constraint],
                               tsCol: String = "warc_ts",
                               watermark: String = "1 hour",
                               window: String = "1 day"): DataFrame =
     Runner.violations(pages.withWatermark(tsCol, watermark), suite, Seq(tsCol))
+      .filter(col(tsCol).isNotNull)
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
         col("part"), col("check_name"))
+      .agg(count(lit(1)).as("violation_count"))
+
+  /** The non-windowed twin for NULL-event-time rows: a running
+    * per-(part, check) count with no watermark (state is bounded by
+    * |parts| × |checks|, so the missing watermark costs nothing). Emit in
+    * update/complete mode next to [[windowedViolationCounts]]'s feed.
+    */
+  def nullTsViolationCounts(pages: DataFrame, suite: Seq[Constraint],
+                            tsCol: String = "warc_ts"): DataFrame =
+    Runner.violations(pages, suite, Seq(tsCol))
+      .filter(col(tsCol).isNull)
+      .groupBy(col("part"), col("check_name"))
       .agg(count(lit(1)).as("violation_count"))
 
   /** Windowed event aggregation (events table shape): watermark +
