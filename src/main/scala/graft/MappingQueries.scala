@@ -1,0 +1,372 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canonical.Canonical
+import graft.canonical.Canonical.{Field, FmtFloat3, FmtStr, FmtUri, FmtUriList}
+import graft.gen.Derive
+import graft.mutate.Curate
+import graft.query.{Compare, MappingSort}
+
+/** Mapping-record operator queries (canonical record hash, triple hash,
+  * invert, curate, curation filters, comparison report, sort DSL, k=v
+  * codec) + their DuckDB oracles, over the deterministic
+  * `Derive.mappings` table. Split from SparkEntry for readability;
+  * SparkEntry merges both maps.
+  *
+  * The oracle SQL for the canonical S-expression and FNV-64 is GENERATED
+  * from the same field list / prefix map the Spark side uses
+  * ([[duckBox]] / [[duckExpand]] / [[duckFnvCtes]]) so the two engines
+  * cannot silently drift.
+  */
+object MappingQueries {
+
+  private val Mark7 = Seq("correct", "incorrect", "BROAD", "NARROW", "CLOSE", "RELATED", "unsure")
+  private val CurateDate = "2026-08-16"
+  private val CurateAuthor = "orcid:0000-0009"
+
+  /** Canonical field layout of the mappings table (subset of
+    * Canonical.FieldOrder; single-valued author/reviewer lists).
+    */
+  private def mappingFields: Seq[Field] = Seq(
+    Field("subject_id", col("subject_id"), FmtUri),
+    Field("subject_label", col("subject_label"), FmtStr),
+    Field("predicate_id", col("predicate_id"), FmtUri),
+    Field("predicate_modifier", col("predicate_modifier"), FmtStr),
+    Field("object_id", col("object_id"), FmtUri),
+    Field("object_label", col("object_label"), FmtStr),
+    Field("mapping_justification", col("justification"), FmtUri),
+    Field("author_id", when(col("author_id").isNotNull, array(col("author_id"))), FmtUriList),
+    Field("reviewer_id", when(col("reviewer_id").isNotNull, array(col("reviewer_id"))), FmtUriList),
+    Field("mapping_tool", col("mapping_tool"), FmtStr),
+    Field("mapping_date", col("mapping_date"), FmtStr),
+    Field("publication_date", col("publication_date"), FmtStr),
+    Field("review_date", col("review_date"), FmtStr),
+    Field("confidence", col("confidence"), FmtFloat3),
+    Field("reviewer_agreement", col("reviewer_agreement"), FmtFloat3),
+    Field("similarity_score", col("similarity_score"), FmtFloat3))
+
+  private def markCol: Column =
+    element_at(array(Mark7.map(lit): _*), (col("mapping_id") % 7).cast("int") + 1)
+
+  /** One comparison side for s_compare: pairs keyed by k = floor(id/2)
+    * so the two parities share keys; deterministic injections create
+    * duplicates (k0%50==7 collapses onto k0-1), one-side-only keys
+    * (left skips k0%11==3, right skips k0%7==2), predicate conflicts
+    * (right shifts the predicate when k%10==3) and modifier conflicts
+    * (right drops 'Not' when k%17==4 && k%3==0). Mirrored in
+    * [[compareSideCte]].
+    */
+  private def compareSide(s: SparkSession, dir: String, parity: Int): DataFrame = {
+    val d = col("doc_id")
+    val k0 = floor(d / 2)
+    val k = when(k0 % 50 === 7, k0 - 1).otherwise(k0)
+    val pidx = if (parity == 1) when(k % 10 === 3, (k + 1) % 5).otherwise(k % 5) else k % 5
+    val modifier =
+      if (parity == 1)
+        when(k % 17 === 4 && !(k % 3 === 0), lit("Not")).otherwise(lit(null).cast("string"))
+      else
+        when(k % 17 === 4, lit("Not")).otherwise(lit(null).cast("string"))
+    val sideSkip = if (parity == 0) k0 % 11 === 3 else k0 % 7 === 2
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(d % 2 === parity && !sideSkip)
+      .select(
+        concat(lit("ex"), k % 7, lit(":doc/"), k).as("subject_id"),
+        element_at(array(Derive.PredEnum.map(lit): _*), pidx.cast("int") + 1).as("predicate_id"),
+        concat(element_at(array(Derive.ObjPrefixes.map(lit): _*), (k % 3).cast("int") + 1),
+          lit(":Q"), (k * 37) % 5000).as("object_id"),
+        modifier.as("predicate_modifier"),
+        lit("semapv:ManualMappingCuration").as("justification"))
+  }
+
+  private def compareSideCte(parity: Int): String = {
+    val pidx =
+      if (parity == 1) "CASE WHEN k % 10 = 3 THEN (k + 1) % 5 ELSE k % 5 END"
+      else "k % 5"
+    val modifier =
+      if (parity == 1) "CASE WHEN k % 17 = 4 AND NOT (k % 3 = 0) THEN 'Not' END"
+      else "CASE WHEN k % 17 = 4 THEN 'Not' END"
+    val sideSkip = if (parity == 0) "k0 % 11 = 3" else "k0 % 7 = 2"
+    s"""(
+       |  SELECT
+       |    'ex' || (k % 7) || ':doc/' || k AS subject_id,
+       |    (['skos:exactMatch','skos:broadMatch','skos:narrowMatch','skos:closeMatch','skos:relatedMatch'])[CAST(($pidx) AS INT) + 1] AS predicate_id,
+       |    (['wd','dbp','yago'])[CAST(k % 3 AS INT) + 1] || ':Q' || ((k * 37) % 5000) AS object_id,
+       |    $modifier AS predicate_modifier
+       |  FROM (
+       |    SELECT CASE WHEN k0 % 50 = 7 THEN k0 - 1 ELSE k0 END AS k
+       |    FROM (SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS k0 FROM documents
+       |          WHERE doc_id % 2 = $parity) t0
+       |    WHERE NOT ($sideSkip)
+       |  ) t
+       |)""".stripMargin
+  }
+
+  // ---------- DuckDB mirrors of the canonical machinery ----------
+
+  /** CURIE→URI expansion in DuckDB, generated from Canonical.PrefixMap. */
+  private def duckExpand(e: String): String = {
+    val cases = Canonical.PrefixMap.toSeq.sortBy(_._1)
+      .map { case (p, u) => s"WHEN '$p' THEN '$u'" }.mkString(" ")
+    s"((CASE split_part($e, ':', 1) $cases ELSE split_part($e, ':', 1) || ':' END) || substr($e, strpos($e, ':') + 1))"
+  }
+
+  private def duckNs(e: String): String =
+    s"(CAST(length($e) AS VARCHAR) || ':' || $e)"
+
+  /** `(len:name len:value)` box (empty string when null), scalar form. */
+  private def duckBox(name: String, e: String): String =
+    s"(CASE WHEN $e IS NOT NULL THEN '(${name.length}:$name' || ${duckNs(e)} || ')' ELSE '' END)"
+
+  /** Single-element list box: `(len:name(len:value))`. */
+  private def duckBoxList(name: String, e: String): String =
+    s"(CASE WHEN $e IS NOT NULL THEN '(${name.length}:$name(' || ${duckNs(e)} || '))' ELSE '' END)"
+
+  /** The canonical S-expression of a mappings row in DuckDB — generated
+    * from [[mappingFields]]' names/kinds so field order and rendering
+    * stay in lockstep with the Spark side.
+    */
+  private def duckSexpr: String = {
+    val boxes = mappingFields.map { f =>
+      val src = if (f.name == "mapping_justification") "justification" else f.name
+      f.fmt match {
+        case FmtUri => duckBox(f.name, duckExpand(src))
+        case FmtUriList => duckBoxList(f.name, duckExpand(src))
+        case FmtFloat3 => duckBox(f.name, s"CAST(round($src, 3) AS VARCHAR)")
+        case _ => duckBox(f.name, src)
+      }
+    }
+    // FmtUri/FmtUriList boxes must test the RAW column for null (the
+    // expansion of NULL is NULL, so the CASE test still works on the
+    // expanded expression — expansion preserves nulls)
+    s"'(7:mapping(' || ${boxes.mkString(" || ")} || '))'"
+  }
+
+  /** FNV-1a-64 over the `sexpr` column of CTE `sx(mapping_id, sexpr)`:
+    * HUGEINT fold over character codes (the canonical string is ASCII so
+    * codepoints == UTF-8 bytes), rendered as uppercase hex of the
+    * little-endian bytes — the exact reference scheme (api.py:926-936).
+    */
+  private val duckFnvCtes: String =
+    """hh AS (SELECT mapping_id, sexpr, list_reduce(
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(split(sexpr, ''), c -> CAST(ord(c) AS HUGEINT))),
+      |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM sx),
+      |fnv AS (SELECT mapping_id, sexpr, upper(string_agg(
+      |    substr('0123456789abcdef', CAST(((h >> (8*i)) & 255) >> 4 AS INT) + 1, 1) ||
+      |    substr('0123456789abcdef', CAST((h >> (8*i)) & 15 AS INT) + 1, 1), '' ORDER BY i)) AS record_fnv
+      |  FROM hh, generate_series(0, 7) g(i)
+      |  GROUP BY mapping_id, sexpr, h)""".stripMargin
+
+  private def duckTripleHash(s: String, p: String, o: String, negated: String): String =
+    s"(sha256(${duckExpand(s)} || ' ' || ${duckExpand(p)} || ' ' || ${duckExpand(o)}) || " +
+      s"CASE WHEN $negated THEN '~' ELSE '' END)"
+
+  // ---------- queries ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // canonical full-record S-expression + FNV-64 record identity
+    "digest_record" -> ((s, dir) =>
+      Derive.mappings(s, dir).select(
+        col("mapping_id"),
+        Canonical.sexpr(mappingFields).as("sexpr"),
+        Canonical.recordHash(mappingFields).as("record_fnv"))),
+
+    // triple ("sameness") identity with ~ negation
+    "digest_triple" -> ((s, dir) =>
+      Derive.mappings(s, dir).select(
+        col("mapping_id"),
+        Canonical.tripleHash(col("subject_id"), col("predicate_id"),
+          col("object_id"), col("predicate_modifier") === "Not").as("triple_hash"))),
+
+    // invert family: narrow→broad with derivation lineage
+    "mut_invert" -> ((s, dir) =>
+      Curate.invertNarrowMatches(Derive.mappings(s, dir), derivePolicy = true)
+        .select("mapping_id", "subject_id", "predicate_id", "object_id",
+          "subject_label", "object_label", "justification", "derived_from")),
+
+    // curate mark state machine (pass + blocked channels, tagged)
+    "mut_curate" -> ((s, dir) => {
+      val m = Derive.mappings(s, dir)
+      val (curated, blocked) = Curate.curate(m, markCol,
+        lit(CurateAuthor), lit(null).cast("double"), lit(CurateDate))
+      curated.withColumn("channel", lit("curated"))
+        .unionByName(blocked.withColumn("channel", lit("blocked_manual")))
+        .select("mapping_id", "channel", "predicate_id", "predicate_modifier",
+          "justification", "author_id", "confidence", "mapping_tool",
+          "similarity_score", "reviewer_id", "reviewer_agreement",
+          "review_date", "mapping_date")
+    }),
+
+    // named curation-state filters, composed
+    "f_curation" -> ((s, dir) =>
+      Curate.filterByConfidence(
+        Curate.excludeUnsure(Curate.excludeNegative(Derive.mappings(s, dir))), 0.5)
+        .select("mapping_id")),
+
+    // stratified two-corpus comparison with conflict classification
+    "s_compare" -> ((s, dir) =>
+      Compare.conflictReport(compareSide(s, dir, 0), compareSide(s, dir, 1))),
+
+    // sort DSL: the four null-ordering shapes, top-20 each with ranks
+    "q_sort_dsl" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Derive.mappings(s, dir)
+      Seq("date", "+date", "date-published", "+date-published").map { lit0 =>
+        val w = Window.orderBy(MappingSort.cols(lit0) :+ col("mapping_id").asc: _*)
+        MappingSort.topK(m, lit0, 20)
+          .select(lit(lit0).as("sort_name"),
+            row_number().over(w).cast("long").as("rn"), col("mapping_id"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // `other` k=v codec round trip (io.py extras pack/unpack discipline)
+    "f_kv" -> ((s, dir) =>
+      Derive.mappings(s, dir)
+        .filter(col("mapping_tool").isNotNull)
+        .select(col("mapping_id"),
+          concat(lit("tool="), col("mapping_tool"),
+            lit("|score="), col("similarity_score").cast("string")).as("other"))
+        .select(col("mapping_id"),
+          element_at(str_to_map(col("other"), lit("[|]"), lit("=")), "tool").as("tool_parsed"),
+          element_at(str_to_map(col("other"), lit("[|]"), lit("=")), "score").as("score_parsed"))),
+
+    // relative-URL fixup (trivial when/concat rewrite, io.py URL hygiene)
+    "mut_urlfix" -> ((s, dir) => {
+      val wp = Derive.webPages(s, dir)
+      val rel = regexp_replace(col("url"), "^https?://[a-z0-9.-]+", "")
+      wp.select(col("doc_id"),
+        when(rel.startsWith("/"),
+          concat(lit("https://ex"), col("doc_id") % 7, lit(".org"), rel))
+          .otherwise(col("url")).as("url_fixed"))
+    })
+  )
+
+  // ---------- DuckDB oracle SQL ----------
+
+  private val curateOracle: String = {
+    val mark = "(['correct','incorrect','BROAD','NARROW','CLOSE','RELATED','unsure'])[CAST(mapping_id % 7 AS INT) + 1]"
+    val scoped = s"(CASE $mark WHEN 'BROAD' THEN 'skos:broadMatch' WHEN 'NARROW' THEN 'skos:narrowMatch' " +
+      s"WHEN 'CLOSE' THEN 'skos:closeMatch' WHEN 'RELATED' THEN 'skos:relatedMatch' END)"
+    val unsure = s"($mark = 'unsure')"
+    val stamp = s"(NOT $unsure)"
+    val wasUnsure = "COALESCE(reviewer_agreement = 0.0, FALSE)"
+    s"""WITH ${Derive.mappingsCte}
+       |SELECT mapping_id, 'curated' AS channel,
+       |  CASE WHEN $stamp AND $scoped IS NOT NULL THEN $scoped ELSE predicate_id END AS predicate_id,
+       |  CASE WHEN $stamp AND $mark = 'incorrect' THEN 'Not' ELSE predicate_modifier END AS predicate_modifier,
+       |  CASE WHEN $stamp THEN 'semapv:ManualMappingCuration' ELSE justification END AS justification,
+       |  CASE WHEN $stamp THEN '$CurateAuthor' ELSE author_id END AS author_id,
+       |  CASE WHEN $stamp THEN NULL ELSE confidence END AS confidence,
+       |  CASE WHEN $stamp THEN NULL ELSE mapping_tool END AS mapping_tool,
+       |  CASE WHEN $stamp THEN NULL ELSE similarity_score END AS similarity_score,
+       |  CASE WHEN $unsure THEN '$CurateAuthor' WHEN $stamp AND $wasUnsure THEN NULL ELSE reviewer_id END AS reviewer_id,
+       |  CASE WHEN $unsure THEN 0.0 WHEN $stamp AND $wasUnsure THEN NULL ELSE reviewer_agreement END AS reviewer_agreement,
+       |  CASE WHEN $unsure THEN '$CurateDate' WHEN $stamp AND $wasUnsure THEN NULL ELSE review_date END AS review_date,
+       |  CASE WHEN $stamp THEN '$CurateDate' ELSE mapping_date END AS mapping_date
+       |FROM mappings WHERE justification <> 'semapv:ManualMappingCuration'
+       |UNION ALL
+       |SELECT mapping_id, 'blocked_manual', predicate_id, predicate_modifier,
+       |  justification, author_id, confidence, mapping_tool, similarity_score,
+       |  reviewer_id, reviewer_agreement, review_date, mapping_date
+       |FROM mappings WHERE justification = 'semapv:ManualMappingCuration'""".stripMargin
+  }
+
+  private val invertOracle: String = {
+    val elig = "(justification <> 'semapv:MappingInversion' AND predicate_id = 'skos:narrowMatch')"
+    val triple = duckTripleHash("subject_id", "predicate_id", "object_id",
+      "COALESCE(predicate_modifier = 'Not', FALSE)")
+    s"""WITH ${Derive.mappingsCte}
+       |SELECT mapping_id,
+       |  CASE WHEN $elig THEN object_id ELSE subject_id END AS subject_id,
+       |  CASE WHEN $elig THEN 'skos:broadMatch' ELSE predicate_id END AS predicate_id,
+       |  CASE WHEN $elig THEN subject_id ELSE object_id END AS object_id,
+       |  CASE WHEN $elig THEN object_label ELSE subject_label END AS subject_label,
+       |  CASE WHEN $elig THEN subject_label ELSE object_label END AS object_label,
+       |  CASE WHEN $elig THEN 'semapv:MappingInversion' ELSE justification END AS justification,
+       |  CASE WHEN $elig THEN 'mapping:' || $triple END AS derived_from
+       |FROM mappings""".stripMargin
+  }
+
+  private def sortDslOracleFor(name: String): String = {
+    val keys = name match {
+      case "date" => "(mapping_date IS NOT NULL) DESC, publication_date DESC NULLS LAST"
+      case "+date" => "(mapping_date IS NOT NULL) ASC, publication_date ASC NULLS FIRST"
+      case "date-published" => "(publication_date IS NOT NULL) DESC, publication_date DESC NULLS LAST"
+      case "+date-published" => "(publication_date IS NOT NULL) ASC, publication_date ASC NULLS FIRST"
+    }
+    s"""SELECT '$name' AS sort_name,
+       |  CAST(row_number() OVER (ORDER BY $keys, mapping_id) AS BIGINT) AS rn,
+       |  mapping_id
+       |FROM (SELECT * FROM mappings ORDER BY $keys, mapping_id LIMIT 20) t""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "digest_record" ->
+      s"""WITH ${Derive.mappingsCte},
+         |sx AS (SELECT mapping_id, $duckSexpr AS sexpr FROM mappings),
+         |$duckFnvCtes
+         |SELECT mapping_id, sexpr, record_fnv FROM fnv""".stripMargin,
+    "digest_triple" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id,
+         |  ${duckTripleHash("subject_id", "predicate_id", "object_id",
+              "COALESCE(predicate_modifier = 'Not', FALSE)")} AS triple_hash
+         |FROM mappings""".stripMargin,
+    "mut_invert" -> invertOracle,
+    "mut_curate" -> curateOracle,
+    "f_curation" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id FROM mappings
+         |WHERE predicate_modifier IS NULL
+         |  AND (reviewer_agreement IS NULL OR reviewer_agreement <> 0.0)
+         |  AND (confidence IS NULL OR confidence >= 0.5)""".stripMargin,
+    "s_compare" ->
+      s"""WITH l0 AS ${compareSideCte(0)},
+         |r0 AS ${compareSideCte(1)},
+         |l AS (SELECT subject_id, object_id, count(*) AS n, min(predicate_id) AS pred,
+         |        min(predicate_modifier) AS mod FROM l0 GROUP BY 1, 2),
+         |r AS (SELECT subject_id, object_id, count(*) AS n, min(predicate_id) AS pred,
+         |        min(predicate_modifier) AS mod FROM r0 GROUP BY 1, 2),
+         |j AS (SELECT COALESCE(l.subject_id, r.subject_id) AS subject_id,
+         |             COALESCE(l.object_id, r.object_id) AS object_id,
+         |             l.n AS n_l, r.n AS n_r, l.pred AS pred_l, r.pred AS pred_r,
+         |             l.mod AS mod_l, r.mod AS mod_r
+         |      FROM l FULL OUTER JOIN r
+         |        ON l.subject_id = r.subject_id AND l.object_id = r.object_id)
+         |SELECT split_part(subject_id, ':', 1) AS subject_prefix,
+         |       split_part(object_id, ':', 1) AS object_prefix,
+         |       CASE WHEN n_l > 1 AND n_r IS NULL THEN 'duplicate_left'
+         |            WHEN n_r > 1 AND n_l IS NULL THEN 'duplicate_right'
+         |            WHEN n_l > 1 OR n_r > 1 THEN 'duplicate_both'
+         |            WHEN n_r IS NULL THEN 'left_only'
+         |            WHEN n_l IS NULL THEN 'right_only'
+         |            WHEN pred_l <> pred_r THEN 'conflict_predicate'
+         |            WHEN NOT (mod_l IS NOT DISTINCT FROM mod_r) THEN 'conflict_modifier'
+         |            ELSE 'agree' END AS class,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM j GROUP BY 1, 2, 3""".stripMargin,
+    "q_sort_dsl" ->
+      s"""WITH ${Derive.mappingsCte}
+         |${Seq("date", "+date", "date-published", "+date-published")
+              .map(sortDslOracleFor).mkString("\nUNION ALL\n")}""".stripMargin,
+    "f_kv" ->
+      s"""WITH ${Derive.mappingsCte},
+         |kv AS (SELECT mapping_id,
+         |         'tool=' || mapping_tool || '|score=' || CAST(similarity_score AS VARCHAR) AS other
+         |       FROM mappings WHERE mapping_tool IS NOT NULL)
+         |SELECT mapping_id,
+         |  regexp_extract(other, 'tool=([^|]*)', 1) AS tool_parsed,
+         |  regexp_extract(other, 'score=([^|]*)', 1) AS score_parsed
+         |FROM kv""".stripMargin,
+    "mut_urlfix" ->
+      s"""${Derive.duckCte}
+         |SELECT doc_id,
+         |  CASE WHEN regexp_replace(url, '^https?://[a-z0-9.-]+', '') LIKE '/%'
+         |       THEN 'https://ex' || (doc_id % 7) || '.org' || regexp_replace(url, '^https?://[a-z0-9.-]+', '')
+         |       ELSE url END AS url_fixed
+         |FROM web_pages""".stripMargin
+  )
+}

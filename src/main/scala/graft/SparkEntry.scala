@@ -54,7 +54,8 @@ object SparkEntry {
       when(col("doc_id") % 113 === 44, concat(col("text"), lit(" mutated")))
         .otherwise(col("text")))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TrainingQueries.queries ++ MappingQueries.queries ++ Map(
     // ===== core graft: row validation → violations + verdicts =====
     "violations" -> ((s, dir) =>
       Runner.violations(Derive.webPages(s, dir), Constraints.webtextSuite,
@@ -360,7 +361,8 @@ object SparkEntry {
        |       round(sum(((c_p / t_p) - (c_q / t_q)) * ln((c_p / t_p) / (c_q / t_q))), 6) + 0.0 AS psi
        |FROM j, t""".stripMargin
 
-  def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    TrainingQueries.oracleSql ++ MappingQueries.oracleSql ++ Map(
     "violations" ->
       s"""${Derive.duckCte}
          |SELECT * FROM ($violationsUnion) v""".stripMargin,

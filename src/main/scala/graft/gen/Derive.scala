@@ -1,6 +1,6 @@
 package graft.gen
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic derivation of a Common-Crawl-style `web_pages` table
@@ -78,6 +78,106 @@ object Derive {
       to_timestamp(lit(WindowStart) + (d * 7919) % WindowLen).as("warc_ts"),
       concat(lit("fetch-"), d).as("fetch_id"))
   }
+
+  /** Predicate enum for the derived mappings table (skos, in the fixed
+    * order both engines index by `doc_id % 5`).
+    */
+  val PredEnum: Seq[String] = Seq(
+    "skos:exactMatch", "skos:broadMatch", "skos:narrowMatch",
+    "skos:closeMatch", "skos:relatedMatch")
+  val ObjPrefixes: Seq[String] = Seq("wd", "dbp", "yago")
+
+  /** Deterministic mapping-record table derived from `documents` — the
+    * carrier for the reference's record-level operator families (canonical
+    * record hash, triple hash, invert, curate, compare, sort DSL;
+    * reference: src/sssom_pydantic/models.py record shape). Dates are ISO
+    * strings and confidences 3-decimal grid values so canonical rendering
+    * is engine-exact. Mirrored verbatim in [[mappingsCte]] — keep in
+    * lockstep.
+    *
+    * Injection map (mod-arithmetic on doc_id):
+    *   - d % 5          → predicate from [[PredEnum]]
+    *   - d % 17 == 4    → predicate_modifier 'Not'   (negated mappings)
+    *   - d % 11 == 0    → justification MappingInversion (double-inversion guard)
+    *   - else d % 3 == 0→ justification ManualMappingCuration (+author)
+    *   - else           → justification LexicalMatching (+tool, similarity)
+    *   - d % 19 == 2    → confidence NULL
+    *   - d % 13 == 6/7  → reviewer_agreement 0.0 / 1.0 (+reviewer, review_date)
+    *   - d % 23 == 3    → mapping_date NULL; d % 4 == 1 → publication_date NULL
+    */
+  def mappings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = col("doc_id")
+    val predicate = element_at(
+      array(PredEnum.map(lit): _*), (d % 5).cast("int") + 1)
+    val objPrefix = element_at(
+      array(ObjPrefixes.map(lit): _*), (d % 3).cast("int") + 1)
+    val justification = when(d % 11 === 0, lit("semapv:MappingInversion"))
+      .when(d % 3 === 0, lit("semapv:ManualMappingCuration"))
+      .otherwise(lit("semapv:LexicalMatching"))
+    val isManual = d % 11 =!= 0 && d % 3 === 0
+    val isLexical = d % 11 =!= 0 && d % 3 =!= 0
+    val isReviewed = d % 13 === 6 || d % 13 === 7
+    def iso(base: String, span: Int): Column =
+      date_format(date_add(lit(base).cast("date"), (d % span).cast("int")), "yyyy-MM-dd")
+    docs.select(
+      d.as("mapping_id"),
+      concat(lit("ex"), d % 7, lit(":doc/"), d).as("subject_id"),
+      concat(lit("doc "), d).as("subject_label"),
+      predicate.as("predicate_id"),
+      when(d % 17 === 4, lit("Not")).otherwise(lit(null).cast("string"))
+        .as("predicate_modifier"),
+      concat(objPrefix, lit(":Q"), (d * 37) % 5000).as("object_id"),
+      concat(lit("entity "), (d * 37) % 5000).as("object_label"),
+      justification.as("justification"),
+      when(isManual, concat(lit("orcid:0000-000"), d % 4))
+        .otherwise(lit(null).cast("string")).as("author_id"),
+      when(d % 19 === 2, lit(null).cast("double"))
+        .otherwise(((d * 7919) % 1000).cast("double") / 1000.0).as("confidence"),
+      when(d % 13 === 6, lit(0.0)).when(d % 13 === 7, lit(1.0))
+        .otherwise(lit(null).cast("double")).as("reviewer_agreement"),
+      when(isReviewed, concat(lit("orcid:0000-111"), d % 3))
+        .otherwise(lit(null).cast("string")).as("reviewer_id"),
+      when(d % 23 === 3, lit(null).cast("string")).otherwise(iso("2026-01-01", 90))
+        .as("mapping_date"),
+      when(d % 4 === 1, lit(null).cast("string")).otherwise(iso("2025-06-01", 200))
+        .as("publication_date"),
+      when(isReviewed, iso("2026-03-01", 30)).otherwise(lit(null).cast("string"))
+        .as("review_date"),
+      when(isLexical, concat(lit("tool-"), d % 3)).otherwise(lit(null).cast("string"))
+        .as("mapping_tool"),
+      when(isLexical, ((d * 31) % 100).cast("double") / 100.0)
+        .otherwise(lit(null).cast("double")).as("similarity_score"))
+  }
+
+  /** DuckDB CTE computing the identical mappings table. */
+  val mappingsCte: String =
+    """mappings AS (
+      |  SELECT
+      |    doc_id AS mapping_id,
+      |    'ex' || (doc_id % 7) || ':doc/' || doc_id AS subject_id,
+      |    'doc ' || doc_id AS subject_label,
+      |    (['skos:exactMatch','skos:broadMatch','skos:narrowMatch','skos:closeMatch','skos:relatedMatch'])[CAST(doc_id % 5 AS INT) + 1] AS predicate_id,
+      |    CASE WHEN doc_id % 17 = 4 THEN 'Not' END AS predicate_modifier,
+      |    (['wd','dbp','yago'])[CAST(doc_id % 3 AS INT) + 1] || ':Q' || ((doc_id * 37) % 5000) AS object_id,
+      |    'entity ' || ((doc_id * 37) % 5000) AS object_label,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'semapv:MappingInversion'
+      |         WHEN doc_id % 3 = 0 THEN 'semapv:ManualMappingCuration'
+      |         ELSE 'semapv:LexicalMatching' END AS justification,
+      |    CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 0 THEN 'orcid:0000-000' || (doc_id % 4) END AS author_id,
+      |    CASE WHEN doc_id % 19 = 2 THEN NULL
+      |         ELSE CAST((doc_id * 7919) % 1000 AS DOUBLE) / 1000.0 END AS confidence,
+      |    CASE WHEN doc_id % 13 = 6 THEN 0.0 WHEN doc_id % 13 = 7 THEN 1.0 END AS reviewer_agreement,
+      |    CASE WHEN doc_id % 13 IN (6, 7) THEN 'orcid:0000-111' || (doc_id % 3) END AS reviewer_id,
+      |    CASE WHEN doc_id % 23 = 3 THEN NULL
+      |         ELSE CAST(DATE '2026-01-01' + CAST(doc_id % 90 AS INT) AS VARCHAR) END AS mapping_date,
+      |    CASE WHEN doc_id % 4 = 1 THEN NULL
+      |         ELSE CAST(DATE '2025-06-01' + CAST(doc_id % 200 AS INT) AS VARCHAR) END AS publication_date,
+      |    CASE WHEN doc_id % 13 IN (6, 7) THEN CAST(DATE '2026-03-01' + CAST(doc_id % 30 AS INT) AS VARCHAR) END AS review_date,
+      |    CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 <> 0 THEN 'tool-' || (doc_id % 3) END AS mapping_tool,
+      |    CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 <> 0 THEN CAST((doc_id * 31) % 100 AS DOUBLE) / 100.0 END AS similarity_score
+      |  FROM documents
+      |)""".stripMargin
 
   /** DuckDB CTE computing the identical table (html kept as VARCHAR —
     * it never appears in query outputs, only `length(html)` does, and

@@ -91,3 +91,67 @@ object QueryDsl {
   def topK(df: DataFrame, k: Int, sorts: PageSort*): DataFrame =
     df.orderBy(sorts.map(_.column): _*).limit(k)
 }
+
+/** The reference's COMPLETE 16-literal mapping-record Sort DSL
+  * (query.py:196-248, exhaustively tested at tests/cases.py:555-564),
+  * over the mapping-record column layout (`Derive.mappings`).
+  *
+  * Reference keys re-expressed as Spark sort columns:
+  *  - confidence sorts: `confidence or 0.0` (nulls coerced to 0)
+  *  - the date sorts use PRESENCE-then-VALUE tuple keys; note the
+  *    reference quirk reproduced faithfully: the `date` family keys on
+  *    (mapping_date is not None, publication_date) — presence of the
+  *    MAPPING date, value of the PUBLICATION date (query.py:227-234)
+  *  - `subject`/`object`: CURIE string order
+  *
+  * Python's `sorted(reverse=True)` reverses the whole tuple, so both
+  * elements flip together. Python cannot order None against a value
+  * (the reference would raise on mixed null/non-null value columns);
+  * the engine completes the order deterministically: NULL values sort
+  * LAST under desc and FIRST under asc — stated explicitly on every sort
+  * column because Spark and DuckDB have different defaults.
+  */
+object MappingSort {
+
+  val Literals: Seq[String] = Seq(
+    "asc", "desc", "confidence", "+confidence", "-confidence",
+    "date", "+date", "-date",
+    "date-published", "-date-published", "+date-published",
+    "date-reviewed", "+date-reviewed", "-date-reviewed",
+    "subject", "object")
+
+  def cols(sort: String): Seq[Column] = sort match {
+    case "desc" | "confidence" | "-confidence" =>
+      Seq(coalesce(col("confidence"), lit(0.0)).desc)
+    case "asc" | "+confidence" =>
+      Seq(coalesce(col("confidence"), lit(0.0)).asc)
+    case "date" | "-date" =>
+      Seq(col("mapping_date").isNotNull.desc, col("publication_date").desc_nulls_last)
+    case "+date" =>
+      Seq(col("mapping_date").isNotNull.asc, col("publication_date").asc_nulls_first)
+    case "date-published" | "-date-published" =>
+      Seq(col("publication_date").isNotNull.desc, col("publication_date").desc_nulls_last)
+    case "+date-published" =>
+      Seq(col("publication_date").isNotNull.asc, col("publication_date").asc_nulls_first)
+    case "date-reviewed" | "-date-reviewed" =>
+      Seq(col("review_date").isNotNull.desc, col("review_date").desc_nulls_last)
+    case "+date-reviewed" =>
+      Seq(col("review_date").isNotNull.asc, col("review_date").asc_nulls_first)
+    case "subject" => Seq(col("subject_id").asc)
+    case "object" => Seq(col("object_id").asc)
+    case other => throw new IllegalArgumentException(s"invalid sort value: $other")
+  }
+
+  /** sort_mappings (query.py:186-193) with a total-order tiebreak: the
+    * reference relies on Python's stable sort; a distributed sort has no
+    * input order, so determinism comes from the explicit key instead.
+    */
+  def sortMappings(df: DataFrame, sort: String,
+                   tiebreak: Column = col("mapping_id")): DataFrame =
+    df.orderBy(cols(sort) :+ tiebreak.asc: _*)
+
+  /** Top-k under a sort literal — TakeOrderedAndProject at scale. */
+  def topK(df: DataFrame, sort: String, k: Int,
+           tiebreak: Column = col("mapping_id")): DataFrame =
+    df.orderBy(cols(sort) :+ tiebreak.asc: _*).limit(k)
+}
