@@ -39,8 +39,7 @@ object TrainingQueries {
       Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "sim_simhash_pairs" -> ((s, dir) =>
       Sim.simhashPairs(
-        Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
-        maxHamming = 6)),
+        Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))),
 
     // ===== embedding similarity search =====
     "emb_knn" -> ((s, dir) => {
@@ -48,8 +47,8 @@ object TrainingQueries {
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
     "emb_neardup" -> ((s, dir) =>
-      Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", threshold = 0.35)),
+      Ann.lshNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, threshold = 0.35)),
     "emb_lsh_buckets" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       e.select(col("vec_id"),
@@ -98,10 +97,10 @@ object TrainingQueries {
     (1 to 8).map(i => s"list_aggregate(list_transform(shs, s -> md5('$i:' || s)), 'min') AS mh_$i")
 
   private val simhashSelect: String = {
-    val v = md5Int("tok", 8)
-    val sums = (0 until 32).map(b =>
+    val v = md5Int("tok", 15)
+    val sums = (0 until Sim.SimhashBits).map(b =>
       s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n    ")
-    val bits = (0 until 32).map(b =>
+    val bits = (0 until Sim.SimhashBits).map(b =>
       s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""tv AS (SELECT doc_id AS id, $v AS v
        |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks) u),
@@ -202,13 +201,14 @@ object TrainingQueries {
     "sim_simhash_pairs" ->
       s"""WITH $toksCte,
          |$simhashSelect,
-         |bands AS (SELECT id, simhash, j.band, (simhash >> (j.band * 8)) & 255 AS bkey
+         |bands AS (SELECT id, simhash, j.band,
+         |    (simhash >> (j.band * ${Sim.SimhashBandBits})) & ${(1L << Sim.SimhashBandBits) - 1} AS bkey
          |  FROM sim, (VALUES (0),(1),(2),(3)) j(band))
          |SELECT DISTINCT a.id AS id_1, b.id AS id_2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Sim.SimhashBands - 1}""".stripMargin,
     "emb_knn" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -221,11 +221,15 @@ object TrainingQueries {
          |  FROM scored
          |) t WHERE rank <= 10""".stripMargin,
     "emb_neardup" ->
-      s"""WITH $embCte
+      s"""WITH $embCte,
+         |$bucketsCte,
+         |keys AS (SELECT vec_id, j, bucket & ~(CAST(1 AS BIGINT) << j) AS key
+         |  FROM buckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM keys a JOIN keys b ON a.j = b.j AND a.key = b.key AND a.vec_id < b.vec_id)
          |SELECT * FROM (
-         |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  SELECT id_1, id_2, round(list_cosine_similarity(e1.v, e2.v), 6) AS cos
+         |  FROM cand JOIN e e1 ON e1.vec_id = id_1 JOIN e e2 ON e2.vec_id = id_2
          |) t WHERE cos >= 0.35""".stripMargin,
     "emb_lsh_buckets" ->
       s"""WITH $embCte,

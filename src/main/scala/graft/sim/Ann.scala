@@ -45,15 +45,65 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** All near-duplicate pairs with cosine ≥ threshold (exact, all-pairs —
-    * the baseline the LSH bucket join replaces at scale).
+  /** All near-duplicate pairs with cosine ≥ threshold (exact, all-pairs).
+    *
+    * TEST ORACLE ONLY: this is a genuine cartesian product — O(n²) rows
+    * through the join, the canonical scale-killer. It exists to measure
+    * [[lshNearDupPairs]]' recall at tiny scale (AnnRecallSpec); the
+    * engine's near-dup entry point is the LSH multi-probe variant.
     */
-  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+  def cosineNearDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
         round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Near-duplicate pairs via MULTI-PROBE random-hyperplane LSH — the
+    * scale path. Candidates are pairs whose bucket ids differ in at most
+    * ONE plane bit: each row emits `nPlanes` keys, key_j = bucket with
+    * bit j masked off, so identical buckets collide on every key and
+    * buckets at Hamming distance 1 collide on exactly the masked bit's
+    * key. The candidate self-join shuffles only slim (id, probe, key)
+    * rows; vectors are re-attached by two id-keyed joins and cosine is
+    * verified row-locally. No cartesian anywhere (asserted by PlanSpec).
+    *
+    * Recall is probabilistic (pairs whose buckets differ in ≥2 planes are
+    * missed); the 1-bit probe ring multiplies candidate coverage ~nPlanes×
+    * over single-bucket probing at nPlanes× slim-row cost — the standard
+    * multi-probe trade. AnnRecallSpec measures recall against the exact
+    * baseline.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+    // slim probe keys; the bucketed index feeds key-gen + two re-attach
+    // joins (at scale this is a materialized index table; persist is the
+    // in-session equivalent — callers clear cache when done)
+    // explode_outer: plain explode triggers InferFiltersFromGenerate,
+    // which inlines the generator (and the lshBucket expression under it)
+    // into a pre-Project Filter — the 3×-evaluation trap
+    val keys = c.select(col("id"),
+      explode_outer(array((0 until nPlanes).map { j =>
+        struct(lit(j).as("probe"),
+          col("bucket").bitwiseAND(lit(~(1L << j))).as("key"))
+      }: _*)).as("pk"))
+      .filter(col("pk").isNotNull)
+      .select(col("id"), col("pk.probe"), col("pk.key"))
+    val candidates = keys.as("a").join(keys.as("b"),
+        col("a.probe") === col("b.probe") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .distinct()
+    val vecs = c.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_1"), col("v").as("v_1")), "id_1")
+      .join(vecs.select(col("id").as("id_2"), col("v").as("v_2")), "id_2")
+      .select(col("id_1"), col("id_2"),
+        round(cosine(col("v_1"), col("v_2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -162,11 +162,23 @@ object Sim {
 
   // ===== SimHash =====
 
-  /** 32-bit token value: first 8 hex digits of md5 as an integer. */
-  def simhashTokenValue(tok: Column): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+  /** SimHash width and banding: 60-bit hash (15 hex digits of md5 — the
+    * widest that stays exact in a signed 64-bit int on BOTH engines and
+    * in DuckDB's positional hex arithmetic), 4 bands × 15 bits. By
+    * pigeonhole, any pair within Hamming distance 3 agrees on at least
+    * one full band — the recall GUARANTEE for hamming ≤ 3 (vs the old
+    * 8-bit bands, whose 256 buckets/band made within-bucket candidates
+    * grow ~n²/1024: a quadratic scale-killer at 100×).
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15 → 32768 buckets/band
 
-  /** 32-bit SimHash per document: per bit, sum(+1/-1) over tokens (with
+  /** 60-bit token value: first 15 hex digits of md5 as an integer. */
+  def simhashTokenValue(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash per document: per bit, sum(+1/-1) over tokens (with
     * repeats), bit set when the sum is positive. One explode + one
     * aggregate keyed by doc id (map-side combinable).
     */
@@ -175,9 +187,9 @@ object Sim {
         explode_outer(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok").isNotNull)
       .select(col("id"), simhashTokenValue(col("tok")).as("v"))
-    val sums = (0 until 32).map(b =>
+    val sums = (0 until SimhashBits).map(b =>
       sum(shiftright(col("v"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b"))
-    val bits = (0 until 32).map(b =>
+    val bits = (0 until SimhashBits).map(b =>
       when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
     tv.groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
@@ -185,16 +197,16 @@ object Sim {
   }
 
   /** Near-dup pairs by Hamming distance ≤ `maxHamming`, candidates via
-    * byte-band LSH on the simhash (pairs must share one of 4 bytes —
-    * guarantees recall for hamming ≤ 6 only probabilistically, but any
-    * pair within 3 bit flips shares ≥1 intact byte by pigeonhole when
-    * flips hit ≤3 distinct bytes).
+    * 15-bit band LSH on the 60-bit simhash: pairs must agree on one of
+    * the 4 bands, which pigeonhole-guarantees every pair with
+    * hamming ≤ 3 is a candidate (SimhashBands - 1).
     */
-  def simhashPairs(sims: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(sims: DataFrame, maxHamming: Int = SimhashBands - 1): DataFrame = {
+    val mask = (1L << SimhashBandBits) - 1
     val banded = sims.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until SimhashBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bkey"))): _*)).as("bd"))
+          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bkey"))): _*)).as("bd"))
       .select(col("id"), col("simhash"), col("bd.band"), col("bd.bkey"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

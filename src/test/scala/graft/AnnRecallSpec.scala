@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Ann, Sim}
+
+/** The exact all-pairs near-dup is demoted to a TEST ORACLE: here it
+  * grades the multi-probe LSH path (the engine's `emb_neardup` entry)
+  * at tiny scale — candidates must be a subset of exact pairs (cosine is
+  * verified, so no false positives) with usable recall on the driver
+  * data, and planted near-identical vectors must always be found.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("LSH near-dup ⊆ exact; planted near-dups found; recall measured") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Ann.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.35))
+    val lsh = pairSet(Ann.lshNearDupPairs(e, "vec_id", "embedding", 64, 0.35))
+    assert(lsh.subsetOf(exact), "LSH verifies true cosine — no false positives")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      info(s"multi-probe LSH recall vs exact at threshold 0.35: " +
+        f"$recall%.3f (${lsh.size}/${exact.size})")
+      assert(recall > 0.15, s"recall collapsed: ${lsh.size}/${exact.size}")
+    }
+  }
+
+  test("planted near-identical vectors always collide (bucket-stable)") {
+    val dim = 64
+    val base = Array.tabulate(dim)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 1e-4f
+    val far = Array.tabulate(dim)(i => math.cos(i * 2.3 + 1).toFloat)
+    val e = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val lsh = Ann.lshNearDupPairs(e, "vec_id", "embedding", dim, 0.99)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === Set((1L, 2L)))
+  }
+
+  test("simhash 15-bit bands: every pair within hamming 3 is a candidate (pigeonhole)") {
+    // two docs whose simhashes differ in <= 3 bits must surface as a pair
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sims = Sim.simhash(docs, "doc_id", "text")
+    val m = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hamming12 = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val pairs = Sim.simhashPairs(sims, maxHamming = Sim.SimhashBands - 1)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (hamming12 <= Sim.SimhashBands - 1)
+      assert(pairs.contains((1L, 2L)), s"hamming=$hamming12 pair must be guaranteed")
+    // 60-bit width sanity: hash uses bits above 32
+    assert(m.values.exists(v => (v >>> 32) != 0L), "simhash must span 60 bits")
+  }
+}

@@ -50,4 +50,16 @@ class PlanSpec extends SparkSpecBase {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("emb_neardup is bucket-joined — no cartesian / nested-loop join anywhere") {
+    val p = planOf("emb_neardup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in near-dup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in near-dup plan:\n$p")
+  }
+
+  test("digest_record is a pure scan-side projection (no shuffle, no UDF)") {
+    val p = planOf("digest_record")
+    assert(!p.contains("Exchange"), s"record hashing must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
 }
