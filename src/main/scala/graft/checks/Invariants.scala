@@ -37,12 +37,22 @@ object Invariants {
   }
 
   /** The cross-run invariant pass: compute FNV-64 digests for the batch,
-    * compare against every digest previously stored under `root` (a url's
-    * digest must NEVER change), return the violation rows in the standard
-    * shape, and append the current digests for future runs.
+    * compare against the stored FIRST-SEEN digest per url (a url's digest
+    * must NEVER change, so the original is the contract), return the
+    * violation rows in the standard shape, and append digests for urls
+    * not seen before.
     *
     * Only (url, 16-char digest, part) ever moves through the comparison
     * join — never the text.
+    *
+    * BOUNDED STORE: the digests table holds exactly ONE row per url —
+    * maintained inductively (the initial write is one canonical row per
+    * url; every later run appends only urls absent from the store, via a
+    * left-anti join that reuses the comparison join's shuffle key). Table
+    * size is |distinct urls|, independent of run count; on Iceberg this
+    * append-if-absent is `MERGE ... WHEN NOT MATCHED INSERT`. (Round 1
+    * appended every run's digests and compared against a distinct() over
+    * all history — unbounded growth.)
     *
     * RESUME CORRECTNESS REQUIRES URL-CO-PARTITIONED INPUT (north rule:
     * partition by url-hash, as WebGen does): resumed runs process
@@ -65,23 +75,28 @@ object Invariants {
       .groupBy(col("url"))
       .agg(min(col("part")).as("part"), min(col("digest")).as("digest"))
       .select(col("part"), col("url"), col("digest"))
-    val violations =
-      if (Tables.exists(spark, path)) {
-        val prev = Tables.read(spark, path)
-          .select(col("url"), col("digest").as("digest_prev")).distinct()
-        cur.join(prev, Seq("url"))
-          .filter(col("digest") =!= col("digest_prev"))
-          .select(col("part"), col("url"),
-            lit("text_digest").as("check_name"),
-            concat(col("digest_prev"), lit("->"), col("digest")).as("detail"),
-            lit("processing").as("stage"))
-      } else cur.limit(0).select(col("part"), col("url"),
+    if (!Tables.exists(spark, path)) {
+      Tables.appendWithSchemaCheck(spark,
+        cur.withColumn("run_id", lit(runId)), path)
+      return cur.limit(0).select(col("part"), col("url"),
         lit("text_digest").as("check_name"), lit("").as("detail"),
+        lit("processing").as("stage")).withColumn("run_id", lit(runId))
+    }
+    // one row per url by construction — no distinct() over history needed
+    val prev = Tables.read(spark, path)
+      .select(col("url"), col("digest").as("digest_prev"))
+    val violations = cur.join(prev, Seq("url"))
+      .filter(col("digest") =!= col("digest_prev"))
+      .select(col("part"), col("url"),
+        lit("text_digest").as("check_name"),
+        concat(col("digest_prev"), lit("->"), col("digest")).as("detail"),
         lit("processing").as("stage"))
     val out = violations.withColumn("run_id", lit(runId)).persist()
     out.count() // materialize BEFORE appending new digests below
+    val newUrls = cur.join(prev.select(col("url")), Seq("url"), "left_anti")
     Tables.appendWithSchemaCheck(spark,
-      cur.withColumn("run_id", lit(runId)), path)
+      newUrls.select(col("part"), col("url"), col("digest"))
+        .withColumn("run_id", lit(runId)), path)
     out
   }
 }

@@ -54,6 +54,24 @@ class ResumeSpec extends SparkSpecBase {
     assert(changed.map(_.getString(1)).toSet.subsetOf(tamperedUrls))
   }
 
+  test("digest store is bounded: one row per url across many runs") {
+    val root = tmp()
+    val urls = pages.filter(col("url").isNotNull).select("url").distinct().count()
+    (1 to 5).foreach { i =>
+      graft.checks.Invariants.checkAndStoreDigests(spark, pages, root, s"r$i")
+    }
+    val stored = spark.read.parquet(s"$root/digests")
+    assert(stored.count() == urls,
+      "store must hold exactly one canonical row per url, independent of run count")
+    assert(stored.groupBy("url").count().filter(col("count") > 1).count() == 0)
+    // first-seen digest is the contract: a later run's mutation both
+    // reports a violation AND leaves the stored canonical untouched
+    val mutated = pages.withColumn("text", concat(col("text"), lit(" zz")))
+    val viol = graft.checks.Invariants.checkAndStoreDigests(spark, mutated, root, "r6")
+    assert(viol.count() > 0)
+    assert(spark.read.parquet(s"$root/digests").count() == urls)
+  }
+
   test("re-running a completed root is a no-op") {
     val root = tmp()
     ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r1")

@@ -39,4 +39,22 @@ class SessionizeSpec extends SparkSpecBase {
       Session(1L, ts(30), ts(30), 1),
       Session(2L, ts(5), ts(5), 1)))
   }
+
+  test("batch oracle sessionizes sub-second gaps at millisecond precision") {
+    // events 400ms apart with a 300ms gap threshold: seconds-truncating
+    // arithmetic would see gap=0 and merge them; unix_millis must split
+    def tms(ms: Long): Timestamp = new Timestamp(1767225600000L + ms)
+    val evs = Seq(
+      Event(9L, tms(0), "a"), Event(9L, tms(400), "b"), Event(9L, tms(800), "c"))
+    val got = Sessionize.sessionsBatch(spark, spark.createDataset(evs), gapMs = 300L)
+      .collect().toSet
+    assert(got == Set(
+      Session(9L, tms(0), tms(0), 1),
+      Session(9L, tms(400), tms(400), 1),
+      Session(9L, tms(800), tms(800), 1)))
+    // and agrees with a run where the gap is just wide enough to merge
+    val merged = Sessionize.sessionsBatch(spark, spark.createDataset(evs), gapMs = 400L)
+      .collect().toSet
+    assert(merged == Set(Session(9L, tms(0), tms(800), 3)))
+  }
 }

@@ -45,6 +45,30 @@ class StreamMutateSpec extends SparkSpecBase {
     assert(total == events.count())
   }
 
+  test("windowed + null-ts violation feeds together cover every violation") {
+    val dir = Files.createTempDirectory("graft-nullts").toString
+    val pages = Derive.webPages(spark, "/root/testdata/sf0.001")
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+    pages.write.mode("overwrite").parquet(dir)
+    val batchTotal = graft.runner.Runner
+      .violations(pages, Constraints.webtextSuite, Seq("warc_ts")).count()
+    val src = StreamingValidation.pagesStream(spark, dir, pages.schema)
+    val qw = StreamingValidation.windowedViolationCounts(src, Constraints.webtextSuite)
+      .writeStream.format("memory").queryName("viol_windowed")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val qn = StreamingValidation.nullTsViolationCounts(src, Constraints.webtextSuite)
+      .writeStream.format("memory").queryName("viol_nullts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    qw.awaitTermination(60000); qn.awaitTermination(60000)
+    val windowed = spark.table("viol_windowed")
+      .agg(coalesce(sum("violation_count"), lit(0L))).head().getLong(0)
+    val nullTs = spark.table("viol_nullts")
+      .agg(coalesce(sum("violation_count"), lit(0L))).head().getLong(0)
+    assert(nullTs > 0, "warc_ts_required violations must flow through the null-ts feed")
+    assert(windowed + nullTs == batchTotal,
+      s"windowed ($windowed) + null-ts ($nullTs) must equal batch total ($batchTotal)")
+  }
+
   test("conditionalUpdate applies assignments only where cond holds") {
     val df = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "k", "v")
     val got = Mutations.conditionalUpdate(df, col("k") === "a",
