@@ -233,6 +233,39 @@ object MappingQueries {
           element_at(str_to_map(col("other"), lit("[|]"), lit("=")), "tool").as("tool_parsed"),
           element_at(str_to_map(col("other"), lit("[|]"), lit("=")), "score").as("score_parsed"))),
 
+    // remove_trivial_negative over a coarsened-key view (the mappings
+    // table's native (s,o) pairs are unique, so the query coarsens to
+    // id%40 / id%25 keys to create genuine positive/negative collisions)
+    "s_nontrivial_neg" -> ((s, dir) => {
+      val m = Derive.mappings(s, dir).select(
+        col("mapping_id"),
+        concat(lit("ex0:grp/"), col("mapping_id") % 40).as("subject_id"),
+        concat(lit("wd:Q"), col("mapping_id") % 25).as("object_id"),
+        col("predicate_modifier"))
+      Curate.removeTrivialNegative(m).select("mapping_id")
+    }),
+
+    // reviewer blend applied post-aggregation (process.py:559-567)
+    "conf_reviewer" -> ((s, dir) => {
+      val agg = graft.agg.Confidence.aggregate(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_type"), lit(1.0) / (lit(1.5) + col("value")),
+        graft.agg.Confidence.Mean, negated = col("event_type") === "error")
+      agg.select(col("event_type"),
+        graft.agg.Confidence.reviewerBlend(col("confidence"),
+          (length(col("event_type")) % 3 - 1).cast("double"), 0.25).as("blended"),
+        col("n_evidence"))
+    }),
+
+    // review with the error-channel exists_action policy (process.py:263-317)
+    "mut_review" -> ((s, dir) => {
+      val (pass, blocked) = Curate.review(Derive.mappings(s, dir),
+        lit("orcid:0000-222"), lit(1.0), lit(CurateDate), graft.mutate.Mutations.ErrorIfExists)
+      pass.withColumn("channel", lit("reviewed"))
+        .unionByName(blocked.withColumn("channel", lit("blocked_reviewed")))
+        .select("mapping_id", "channel", "reviewer_id", "reviewer_agreement", "review_date")
+    }),
+
     // relative-URL fixup (trivial when/concat rewrite, io.py URL hygiene)
     "mut_urlfix" -> ((s, dir) => {
       val wp = Derive.webPages(s, dir)
@@ -361,6 +394,39 @@ object MappingQueries {
          |  regexp_extract(other, 'tool=([^|]*)', 1) AS tool_parsed,
          |  regexp_extract(other, 'score=([^|]*)', 1) AS score_parsed
          |FROM kv""".stripMargin,
+    "s_nontrivial_neg" ->
+      s"""WITH ${Derive.mappingsCte},
+         |v AS (SELECT mapping_id,
+         |        'ex0:grp/' || (mapping_id % 40) AS subject_id,
+         |        'wd:Q' || (mapping_id % 25) AS object_id,
+         |        predicate_modifier
+         |      FROM mappings)
+         |SELECT mapping_id FROM v m
+         |WHERE predicate_modifier IS NULL
+         |   OR NOT EXISTS (SELECT 1 FROM v p
+         |        WHERE p.predicate_modifier IS NULL
+         |          AND p.subject_id = m.subject_id AND p.object_id = m.object_id)""".stripMargin,
+    "conf_reviewer" ->
+      """WITH agg AS (
+        |  SELECT event_type,
+        |    round(avg(CASE WHEN event_type = 'error'
+        |      THEN 1 - 1.0 / (1.5 + value) ELSE 1.0 / (1.5 + value) END), 6) AS confidence,
+        |    CAST(count(*) AS BIGINT) AS n_evidence
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  round(0.75 * confidence
+        |    + 0.25 * (1.0 + CAST(length(event_type) % 3 - 1 AS DOUBLE)) / 2.0, 6) AS blended,
+        |  n_evidence
+        |FROM agg""".stripMargin,
+    "mut_review" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id, 'reviewed' AS channel,
+         |  'orcid:0000-222' AS reviewer_id, 1.0 AS reviewer_agreement,
+         |  '$CurateDate' AS review_date
+         |FROM mappings WHERE reviewer_id IS NULL
+         |UNION ALL
+         |SELECT mapping_id, 'blocked_reviewed', reviewer_id, reviewer_agreement, review_date
+         |FROM mappings WHERE reviewer_id IS NOT NULL""".stripMargin,
     "mut_urlfix" ->
       s"""${Derive.duckCte}
          |SELECT doc_id,

@@ -211,4 +211,22 @@ object Curate {
     */
   def filterByConfidence(df: DataFrame, cutoff: Double): DataFrame =
     df.filter(col("confidence").isNull || col("confidence") >= cutoff)
+
+  /** remove_trivial_negative (process.py:1041-1056): a negative mapping
+    * is trivial when a non-negative mapping with the same
+    * (subject, object) exists — drop those, keep everything else.
+    *
+    * Scale shape: the reference builds an in-memory positive-pair set;
+    * here the negatives left-anti join against the distinct positive
+    * keys (broadcastable when the positive key set is small, sort-merge
+    * otherwise) and the positives pass through untouched.
+    */
+  def removeTrivialNegative(df: DataFrame): DataFrame = {
+    val pos = df.filter(col("predicate_modifier").isNull)
+    val neg = df.filter(col("predicate_modifier").isNotNull)
+    val nonTrivial = neg.join(
+      pos.select(col("subject_id"), col("object_id")).distinct(),
+      Seq("subject_id", "object_id"), "left_anti")
+    pos.unionByName(nonTrivial)
+  }
 }
