@@ -146,19 +146,35 @@ object Canonical {
   /** Canonical S-expression string for a record. Fields may be given in
     * any order; they are emitted in [[FieldOrder]]. Unknown field names
     * are rejected (they would silently break identity).
+    *
+    * `extensions` are extension slots (models.py:313-319): each is boxed
+    * under its FULL property URI (the `Field.name` here IS the expanded
+    * predicate, not a slot name), sorted by predicate, and the whole
+    * group is wrapped in one `extensions` box emitted LAST — omitted
+    * entirely when every extension value is null (the reference builds
+    * the box only from present slots).
     */
-  def sexpr(fields: Seq[Field], pm: Map[String, String] = PrefixMap): Column = {
+  def sexpr(fields: Seq[Field], pm: Map[String, String] = PrefixMap,
+            extensions: Seq[Field] = Nil): Column = {
     val unknown = fields.map(_.name).filterNot(FieldOrder.contains)
     require(unknown.isEmpty, s"unknown canonical fields: ${unknown.mkString(", ")}")
     val ordered = fields.sortBy(f => FieldOrder.indexOf(f.name))
-    concat(lit("(7:mapping(") +: ordered.map(boxOf(_, pm)) :+ lit("))"): _*)
+    val extBox: Seq[Column] =
+      if (extensions.isEmpty) Nil
+      else {
+        val inner = concat(extensions.sortBy(_.name).map(boxOf(_, pm)): _*)
+        Seq(when(length(inner) > 0,
+          concat(lit("(10:extensions("), inner, lit("))"))).otherwise(lit("")))
+      }
+    concat(lit("(7:mapping(") +: (ordered.map(boxOf(_, pm)) ++ extBox) :+ lit("))"): _*)
   }
 
   /** Record identity: uppercase-hex FNV-1a-64 of the canonical
     * S-expression (api.py:907-924 `hash_mapping`).
     */
-  def recordHash(fields: Seq[Field], pm: Map[String, String] = PrefixMap): Column =
-    Fnv64.fnv64Hex(sexpr(fields, pm))
+  def recordHash(fields: Seq[Field], pm: Map[String, String] = PrefixMap,
+                 extensions: Seq[Field] = Nil): Column =
+    Fnv64.fnv64Hex(sexpr(fields, pm, extensions))
 
   // ===== triple ("sameness") identity =====
 

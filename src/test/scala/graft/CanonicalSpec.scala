@@ -131,6 +131,81 @@ class CanonicalSpec extends SparkSpecBase {
     }
   }
 
+  test("extension slots: boxed under full property URI, sorted, typed (test_hash.py:119-145)") {
+    val pmExt = Map(
+      "COMENT" -> "https://example.com/entities/",
+      "EXPROP" -> "https://example.org/properties/",
+      "ORGENT" -> "https://example.org/entities/",
+      "semapv" -> "https://w3id.org/semapv/vocab/",
+      "skos" -> "http://www.w3.org/2004/02/skos/core#")
+    val fields = Seq(
+      Field("subject_id", lit("ORGENT:0001"), FmtUri),
+      Field("subject_label", lit("alice"), FmtStr),
+      Field("predicate_id", lit("skos:closeMatch"), FmtUri),
+      Field("object_id", lit("COMENT:0011"), FmtUri),
+      Field("object_label", lit("alpha"), FmtStr),
+      Field("mapping_justification", lit("semapv:ManualMappingCuration"), FmtUri))
+    val exts = Seq(
+      Field("https://example.org/properties/barProperty", lit("111"), FmtStr),
+      Field("https://example.org/properties/bazProperty", lit("ORGENT:BAZ_0001"), FmtUri))
+    val row = spark.range(1).select(
+      Canonical.sexpr(fields, pmExt, exts).as("sexpr"),
+      Canonical.recordHash(fields, pmExt, exts).as("fnv")).head()
+    assert(row.getString(0) ===
+      "(7:mapping((10:subject_id33:https://example.org/entities/0001)" +
+      "(13:subject_label5:alice)" +
+      "(12:predicate_id46:http://www.w3.org/2004/02/skos/core#closeMatch)" +
+      "(9:object_id33:https://example.com/entities/0011)" +
+      "(12:object_label5:alpha)" +
+      "(21:mapping_justification51:https://w3id.org/semapv/vocab/ManualMappingCuration)" +
+      "(10:extensions((42:https://example.org/properties/barProperty3:111)" +
+      "(42:https://example.org/properties/bazProperty37:https://example.org/entities/BAZ_0001)))))")
+    assert(row.getString(1) === "66BD0A57A976A109")
+  }
+
+  test("extension slots: typed values — float/bool/date/dateTime/anyURI (test_hash.py:152-189)") {
+    val pmExt = Map(
+      "COMENT" -> "https://example.com/entities/",
+      "ORGENT" -> "https://example.org/entities/",
+      "semapv" -> "https://w3id.org/semapv/vocab/",
+      "skos" -> "http://www.w3.org/2004/02/skos/core#")
+    val fields = Seq(
+      Field("subject_id", lit("ORGENT:0002"), FmtUri),
+      Field("predicate_id", lit("skos:exactMatch"), FmtUri),
+      Field("object_id", lit("COMENT:0022"), FmtUri),
+      Field("mapping_justification", lit("semapv:ManualMappingCuration"), FmtUri))
+    val exts = Seq(
+      Field("http://sssom.invalid/ext_verification_date", lit("2026-07-31"), FmtStr),
+      Field("http://www.w3.org/2000/01/rdf-schema#seeAlso", lit("https://example.org/"), FmtStr),
+      Field("https://example.org/properties/accuracy", lit(99.1234), Canonical.FmtFloat3),
+      Field("https://example.org/properties/timestamp",
+        lit("2026-07-31T11:11:11+01:00"), FmtStr),
+      Field("https://example.org/properties/verified", lit(true), Canonical.FmtBool))
+    val row = spark.range(1).select(
+      Canonical.sexpr(fields, pmExt, exts).as("sexpr"),
+      Canonical.recordHash(fields, pmExt, exts).as("fnv")).head()
+    assert(row.getString(0) ===
+      "(7:mapping((10:subject_id33:https://example.org/entities/0002)" +
+      "(12:predicate_id46:http://www.w3.org/2004/02/skos/core#exactMatch)" +
+      "(9:object_id33:https://example.com/entities/0022)" +
+      "(21:mapping_justification51:https://w3id.org/semapv/vocab/ManualMappingCuration)" +
+      "(10:extensions((42:http://sssom.invalid/ext_verification_date10:2026-07-31)" +
+      "(44:http://www.w3.org/2000/01/rdf-schema#seeAlso20:https://example.org/)" +
+      "(39:https://example.org/properties/accuracy6:99.123)" +
+      "(40:https://example.org/properties/timestamp25:2026-07-31T11:11:11+01:00)" +
+      "(39:https://example.org/properties/verified4:true)))))")
+    assert(row.getString(1) === "1058491DA22C623E")
+  }
+
+  test("extensions box omitted when all extension values are null") {
+    val fields = Seq(Field("subject_id", lit("HP:0009124"), FmtUri))
+    val exts = Seq(
+      Field("https://example.org/properties/x", lit(null).cast("string"), FmtStr))
+    val row = spark.range(1).select(Canonical.sexpr(fields, pm, exts)).head()
+    assert(row.getString(0) ===
+      "(7:mapping((10:subject_id41:http://purl.obolibrary.org/obo/HP_0009124)))")
+  }
+
   test("triple hash golden vectors incl. ~ negation (test_hash.py:197-210)") {
     val rows = spark.range(1).select(
       Canonical.tripleHash(lit("mesh:C000089"), lit("skos:exactMatch"),

@@ -63,4 +63,26 @@ object PropertySpec extends Properties("graft") {
         .map(x => x.getLong(0) -> x.getLong(1)).toMap
       m(1L) == m(2L)
     }
+
+  property("invert under retain policy is an involution (process.py:409-465)") =
+    Prop.forAll(Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 1000L)
+      pred <- Gen.oneOf(graft.mutate.Curate.InversionMap.keys.toSeq)
+      just <- Gen.oneOf("semapv:LexicalMatching", "semapv:ManualMappingCuration")
+    } yield (id, s"ex1:s$id", s"s $id", pred, null.asInstanceOf[String],
+      s"wd:Q$id", s"o $id", just))) { rows =>
+      val df = rows.toDF("mapping_id", "subject_id", "subject_label",
+        "predicate_id", "predicate_modifier", "object_id", "object_label",
+        "justification")
+      def invAll(d: org.apache.spark.sql.DataFrame) =
+        graft.mutate.Curate.invertByPredicate(d, lit(true), derivePolicy = false)
+          .drop("derived_from")
+      val once = invAll(df)
+      val twice = invAll(once)
+      // retain policy keeps the original justification, so nothing blocks
+      // the second inversion and the double swap restores the original
+      twice.collect().map(_.mkString("|")).sorted
+        .sameElements(df.collect().map(_.mkString("|")).sorted) &&
+        once.filter(col("subject_id") === col("object_id")).count() == 0
+    }
 }
