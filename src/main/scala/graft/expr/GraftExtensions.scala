@@ -23,6 +23,7 @@ object GraftExtensions {
     registerFunction(spark, "fnv64_hex", args =>
       org.apache.spark.sql.catalyst.expressions.Hex(Fnv64(args.head)))
     registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
+    registerFunction(spark, "simhash60", args => SimHash60(args.head))
   }
 }
 
@@ -46,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(tokens) - 60-bit SimHash of an array<string>"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
   }
 }

@@ -23,4 +23,19 @@ class ExtensionsSpec extends SparkSpecBase {
     }
     assert(bad.getMessage.contains("array<double>"))
   }
+
+  test("simhash60 is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT simhash60(array('alpha', 'beta', 'gamma')) AS h").head().getLong(0)
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1).select(
+      graft.expr.SimHash60.simhash60(
+        array(lit("alpha"), lit("beta"), lit("gamma")))).head().getLong(0)
+    assert(viaSql == viaCol && viaSql != 0L)
+    val badType = intercept[Exception] {
+      spark.sql("SELECT simhash60('not an array')").collect()
+    }
+    assert(badType.getMessage.contains("array<string>"))
+  }
 }

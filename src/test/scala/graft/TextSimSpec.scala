@@ -73,6 +73,15 @@ class TextSimSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L, 0L)))
   }
 
+  test("simhash codegen expression ≡ relational aggregate on driver data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExpr = Sim.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Sim.simhashAgg(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("cosine: orthogonal=0, identical=1; brute-force topk ranks correctly") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
