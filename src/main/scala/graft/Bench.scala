@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 
 /** Driver-run benchmark: one JSON line with per-query wall seconds over
   * SPARK_GRAFT_SF_DIR. Each query gets one untimed warm-up execution
@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   */
 object Bench {
 
-  /** Evaluate every output column of `df` (hash-combine then sum). */
+  /** Evaluate every output column of `df`: hash-combine per row, then
+    * BIT_XOR-fold — order-independent AND overflow-free (a sum of
+    * uniform 64-bit hashes overflows ANSI long arithmetic within a few
+    * rows, which would abort the job early and under-measure the query).
+    */
   def force(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(sum(col("__h")))
+      .agg(expr("bit_xor(__h)"))
       .collect()
     ()
   }
@@ -47,12 +51,18 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
+    // best of 2 timed runs per query: the sandbox host has bursty
+    // neighbor load (observed ±2-3× on identical runs); min-of-2 keeps
+    // one noisy window from contaminating the whole suite
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try force(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try force(SparkEntry.queries(name)(spark, sfDir))
+        catch { case _: Throwable => }
+        val d = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        d
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -180,12 +180,15 @@ object Canonical {
 
   /** Lowercase-hex SHA-256 over `subjURI + " " + predURI + " " + objURI`
     * with a trailing `~` when `negated` (api.py:947-976; the reference
-    * negates via `predicate_modifier == "Not"`).
+    * negates via `predicate_modifier == "Not"`). Uses the thread-local
+    * [[graft.expr.Sha256HexLower]] digest (value-identical to
+    * `lower(sha2(x, 256))`, ~linear N→4N scaling vs 0.56 for the
+    * per-row-getInstance built-in — BENCH/BASELINE.md).
     */
   def tripleHash(subj: Column, pred: Column, obj: Column, negated: Column,
                  pm: Map[String, String] = PrefixMap): Column = {
-    val h = lower(sha2(
-      concat_ws(" ", expandCurie(subj, pm), expandCurie(pred, pm), expandCurie(obj, pm)), 256))
+    val h = graft.expr.Sha256HexLower.sha256Hex(
+      concat_ws(" ", expandCurie(subj, pm), expandCurie(pred, pm), expandCurie(obj, pm)))
     when(coalesce(negated, lit(false)), concat(h, lit("~"))).otherwise(h)
   }
 

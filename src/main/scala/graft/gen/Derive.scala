@@ -105,8 +105,14 @@ object Derive {
     *   - d % 13 == 6/7  → reviewer_agreement 0.0 / 1.0 (+reviewer, review_date)
     *   - d % 23 == 3    → mapping_date NULL; d % 4 == 1 → publication_date NULL
     */
-  def mappings(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def mappings(spark: SparkSession, sfDir: String): DataFrame =
+    mappingsOf(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Same derivation from any `doc_id`-bearing input (every field is
+    * pure arithmetic on the id) — lets benches derive arbitrarily large
+    * mapping tables from `spark.range`.
+    */
+  def mappingsOf(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     val predicate = element_at(
       array(PredEnum.map(lit): _*), (d % 5).cast("int") + 1)
