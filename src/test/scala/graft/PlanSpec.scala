@@ -62,4 +62,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"record hashing must not shuffle:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("curate/invert are single-stage codegen projections (no shuffle)") {
+    for (name <- Seq("mut_invert", "mut_curate")) {
+      val p = planOf(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+    }
+  }
+
+  test("s_compare aligns sides with ONE join (pre-aggregated, no per-stratum loop)") {
+    val p = planOf("s_compare")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1,
+      s"compare must align the two sides with a single join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("every sort-DSL branch collapses to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q_sort_dsl")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 4, p)
+  }
 }

@@ -69,6 +69,26 @@ class StreamMutateSpec extends SparkSpecBase {
       s"windowed ($windowed) + null-ts ($nullTs) must equal batch total ($batchTotal)")
   }
 
+  test("curate pass channel runs unchanged over a stream (stateless projection)") {
+    val dir = Files.createTempDirectory("graft-curate-stream").toString
+    val m = Derive.mappings(spark, "/root/testdata/sf0.001")
+    m.write.mode("overwrite").parquet(dir)
+    val mark = org.apache.spark.sql.functions.element_at(
+      array(Seq("correct", "incorrect", "BROAD", "NARROW", "CLOSE", "RELATED", "unsure")
+        .map(lit): _*), (col("mapping_id") % 7).cast("int") + 1)
+    def curatePass(df: org.apache.spark.sql.DataFrame) =
+      graft.mutate.Curate.curate(df, mark, lit("orcid:x"),
+        lit(null).cast("double"), lit("2026-08-16"))._1
+    val batch = curatePass(m).collect().map(_.mkString("|")).sorted
+    val stream = curatePass(spark.readStream.schema(m.schema).parquet(dir))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("curate_stream").collect().map(_.mkString("|")).sorted
+    assert(got.sameElements(batch))
+  }
+
   test("conditionalUpdate applies assignments only where cond holds") {
     val df = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "k", "v")
     val got = Mutations.conditionalUpdate(df, col("k") === "a",
