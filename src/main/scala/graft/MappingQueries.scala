@@ -210,11 +210,12 @@ object MappingQueries {
     "s_compare" -> ((s, dir) =>
       Compare.conflictReport(compareSide(s, dir, 0), compareSide(s, dir, 1))),
 
-    // sort DSL: the four null-ordering shapes, top-20 each with ranks
+    // sort DSL: the four null-ordering shapes + confidence/subject/object
+    // keys, top-20 each with ranks
     "q_sort_dsl" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val m = Derive.mappings(s, dir)
-      Seq("date", "+date", "date-published", "+date-published").map { lit0 =>
+      SortDslLiterals.map { lit0 =>
         val w = Window.orderBy(MappingSort.cols(lit0) :+ col("mapping_id").asc: _*)
         MappingSort.topK(m, lit0, 20)
           .select(lit(lit0).as("sort_name"),
@@ -323,12 +324,19 @@ object MappingQueries {
        |FROM mappings""".stripMargin
   }
 
+  private val SortDslLiterals = Seq(
+    "date", "+date", "date-published", "+date-published",
+    "-confidence", "subject", "object")
+
   private def sortDslOracleFor(name: String): String = {
     val keys = name match {
       case "date" => "(mapping_date IS NOT NULL) DESC, publication_date DESC NULLS LAST"
       case "+date" => "(mapping_date IS NOT NULL) ASC, publication_date ASC NULLS FIRST"
       case "date-published" => "(publication_date IS NOT NULL) DESC, publication_date DESC NULLS LAST"
       case "+date-published" => "(publication_date IS NOT NULL) ASC, publication_date ASC NULLS FIRST"
+      case "-confidence" => "COALESCE(confidence, 0.0) DESC"
+      case "subject" => "subject_id ASC"
+      case "object" => "object_id ASC"
     }
     s"""SELECT '$name' AS sort_name,
        |  CAST(row_number() OVER (ORDER BY $keys, mapping_id) AS BIGINT) AS rn,
@@ -383,8 +391,7 @@ object MappingQueries {
          |FROM j GROUP BY 1, 2, 3""".stripMargin,
     "q_sort_dsl" ->
       s"""WITH ${Derive.mappingsCte}
-         |${Seq("date", "+date", "date-published", "+date-published")
-              .map(sortDslOracleFor).mkString("\nUNION ALL\n")}""".stripMargin,
+         |${SortDslLiterals.map(sortDslOracleFor).mkString("\nUNION ALL\n")}""".stripMargin,
     "f_kv" ->
       s"""WITH ${Derive.mappingsCte},
          |kv AS (SELECT mapping_id,

@@ -15,7 +15,18 @@ import graft.gen.Derive
   * expression tree, so this measures the codegen hash pipeline itself —
   * the component a 10^12-row identity pass is bound by).
   *
-  * Usage: runMain graft.bench.HashBench [nRows] [appendMd]
+  * MEASUREMENT CAVEAT (why the published figure is the 8M-row run):
+  * dual-parallelism microbenchmarks inside ONE shared JVM are layout-
+  * and size-sensitive in ways a real multi-executor cluster is not —
+  * measured on identical code: 256 small files punish the 8-thread run
+  * (tiny-task overhead, apparent eff 1.14), 32M rows punish it further
+  * (apparent eff 1.30 — superlinear, i.e. meaningless), while 8M rows /
+  * tens-of-files layouts measure 0.68-0.74. The published
+  * BENCH/BASELINE.md section reports the conservative 8M figure with a
+  * single-JVM allocation confounder note; the cluster-real evidence for
+  * the north rule remains ScalingBench's full-suite 0.840.
+  *
+  * Usage: runMain graft.bench.HashBench [nRows] [appendMd] [mode]
   */
 object HashBench {
 
@@ -83,6 +94,7 @@ object HashBench {
     if (!Files.exists(Paths.get(dataPath))) {
       val s = session(32)
       Derive.mappingsOf(s.range(n).select(col("id").as("doc_id")))
+        .repartition(64)
         .write.mode("overwrite").parquet(dataPath)
     }
     val results = Seq(8, 32).map { cpus =>

@@ -79,6 +79,6 @@ class PlanSpec extends SparkSpecBase {
 
   test("every sort-DSL branch collapses to TakeOrderedAndProject (no global sort)") {
     val p = planOf("q_sort_dsl")
-    assert("TakeOrderedAndProject".r.findAllIn(p).size == 4, p)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 7, p)
   }
 }
