@@ -234,6 +234,18 @@ object MappingQueries {
           element_at(str_to_map(col("other"), lit("[|]"), lit("=")), "tool").as("tool_parsed"),
           element_at(str_to_map(col("other"), lit("[|]"), lit("=")), "score").as("score_parsed"))),
 
+    // merge_manual_curations over a coarsened-key view (native mapping
+    // triples are unique, so ids coarsen to create multi-member groups)
+    "agg_merge_cur" -> ((s, dir) => {
+      val m = Derive.mappings(s, dir).select(
+        col("mapping_id"),
+        concat(lit("ex0:grp/"), col("mapping_id") % 12).as("subject_id"),
+        col("predicate_id"), col("predicate_modifier"),
+        concat(lit("wd:Q"), col("mapping_id") % 10).as("object_id"),
+        col("justification"), col("author_id"), col("confidence"))
+      Curate.mergeCurations(m)
+    }),
+
     // remove_trivial_negative over a coarsened-key view (the mappings
     // table's native (s,o) pairs are unique, so the query coarsens to
     // id%40 / id%25 keys to create genuine positive/negative collisions)
@@ -401,6 +413,23 @@ object MappingQueries {
          |  regexp_extract(other, 'tool=([^|]*)', 1) AS tool_parsed,
          |  regexp_extract(other, 'score=([^|]*)', 1) AS score_parsed
          |FROM kv""".stripMargin,
+    "agg_merge_cur" ->
+      s"""WITH ${Derive.mappingsCte},
+         |v AS (SELECT mapping_id,
+         |        'ex0:grp/' || (mapping_id % 12) AS subject_id,
+         |        predicate_id, predicate_modifier,
+         |        'wd:Q' || (mapping_id % 10) AS object_id,
+         |        justification, author_id, confidence
+         |      FROM mappings)
+         |SELECT subject_id, predicate_id, object_id, predicate_modifier,
+         |  array_to_string(list_sort(list_distinct(list(author_id))), '|') AS authors,
+         |  round(CASE WHEN max(confidence) >= 1.0 THEN 1.0
+         |        ELSE 1 - exp(sum(ln(1 - confidence))) END, 6) AS confidence,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  'mapping:' || ${duckTripleHash("subject_id", "predicate_id", "object_id",
+              "COALESCE(predicate_modifier = 'Not', FALSE)")} AS derived_from
+         |FROM v WHERE justification = 'semapv:ManualMappingCuration'
+         |GROUP BY subject_id, predicate_id, object_id, predicate_modifier""".stripMargin,
     "s_nontrivial_neg" ->
       s"""WITH ${Derive.mappingsCte},
          |v AS (SELECT mapping_id,

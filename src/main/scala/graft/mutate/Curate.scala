@@ -212,6 +212,35 @@ object Curate {
   def filterByConfidence(df: DataFrame, cutoff: Double): DataFrame =
     df.filter(col("confidence").isNull || col("confidence") >= cutoff)
 
+  /** merge_manual_curations' merge step (process.py:963-1027): group the
+    * MANUALLY-CURATED rows by their s-p-o triple (+ modifier) and
+    * combine — sorted author-set union, noisy-or confidence
+    * (`1 - ∏(1-cᵢ)` as a sum-of-logs aggregate; null confidences carry
+    * no evidence), `derived_from` = the group's triple hash, member
+    * count. The reference's `_not_all_same_triple` guard is enforced
+    * STRUCTURALLY here: the grouping key IS the triple, so rows with
+    * different triples cannot meet in one merge (the reference asserts
+    * this at runtime on a caller-supplied list).
+    *
+    * Callers keep non-manual rows on the original channel
+    * (process.py:981-985 passes them through unmerged).
+    */
+  def mergeCurations(df: DataFrame): DataFrame = {
+    val negated = col("predicate_modifier") === "Not"
+    df.filter(col("justification") === ManualCuration)
+      .groupBy(col("subject_id"), col("predicate_id"), col("object_id"),
+        col("predicate_modifier"))
+      .agg(
+        array_join(array_sort(collect_set(col("author_id"))), "|").as("authors"),
+        round(when(max(col("confidence")) >= 1.0, lit(1.0))
+          .otherwise(lit(1.0) - exp(sum(log(lit(1.0) - col("confidence"))))), 6)
+          .as("confidence"),
+        count(lit(1)).as("n_members"))
+      .withColumn("derived_from",
+        Canonical.tripleHashCurie(col("subject_id"), col("predicate_id"),
+          col("object_id"), negated))
+  }
+
   /** remove_trivial_negative (process.py:1041-1056): a negative mapping
     * is trivial when a non-negative mapping with the same
     * (subject, object) exists — drop those, keep everything else.
