@@ -223,6 +223,29 @@ object MappingQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // CURIE expand→compress round trip (models.py:157-177 / 282-293)
+    "f_compress" -> ((s, dir) =>
+      Derive.mappings(s, dir).select(
+        col("mapping_id"),
+        Canonical.expandCurie(col("subject_id")).as("subject_uri"),
+        Canonical.compressUri(Canonical.expandCurie(col("subject_id")))
+          .as("subject_roundtrip"),
+        Canonical.compressUri(Canonical.expandCurie(col("object_id")))
+          .as("object_roundtrip"))),
+
+    // same_text composite predicate (query.py:120-144): normalized-label
+    // equality AND exactMatch; a label variant that only normalization
+    // can match ('Doc-N' vs 'doc N') exercises the normalize step
+    "f_sametext" -> ((s, dir) => {
+      val m = Derive.mappings(s, dir).withColumn("object_label",
+        when(col("mapping_id") % 3 === 0,
+          concat(lit("Doc-"), col("mapping_id"))).otherwise(col("object_label")))
+      m.filter(graft.query.QueryDsl.sameText(
+          concat(lit("doc "), col("mapping_id")), col("object_label"),
+          col("predicate_id")))
+        .select("mapping_id", "predicate_id", "object_label")
+    }),
+
     // `other` k=v codec round trip (io.py extras pack/unpack discipline)
     "f_kv" -> ((s, dir) =>
       Derive.mappings(s, dir)
@@ -404,6 +427,23 @@ object MappingQueries {
     "q_sort_dsl" ->
       s"""WITH ${Derive.mappingsCte}
          |${SortDslLiterals.map(sortDslOracleFor).mkString("\nUNION ALL\n")}""".stripMargin,
+    "f_compress" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id,
+         |  ${duckExpand("subject_id")} AS subject_uri,
+         |  subject_id AS subject_roundtrip,
+         |  object_id AS object_roundtrip
+         |FROM mappings""".stripMargin,
+    "f_sametext" ->
+      s"""WITH ${Derive.mappingsCte},
+         |v AS (SELECT mapping_id, predicate_id,
+         |        CASE WHEN mapping_id % 3 = 0 THEN 'Doc-' || mapping_id
+         |             ELSE object_label END AS object_label
+         |      FROM mappings)
+         |SELECT mapping_id, predicate_id, object_label FROM v
+         |WHERE lower(regexp_replace('doc ' || mapping_id, '[ -]', '', 'g'))
+         |      = lower(regexp_replace(object_label, '[ -]', '', 'g'))
+         |  AND predicate_id = 'skos:exactMatch'""".stripMargin,
     "f_kv" ->
       s"""WITH ${Derive.mappingsCte},
          |kv AS (SELECT mapping_id,

@@ -63,6 +63,19 @@ object Canonical {
       .otherwise(c)
   }
 
+  /** Compress a URI back to a CURIE (models.py:282-293 `compress`):
+    * longest-base-first prefix match; URIs under no known base pass
+    * through unchanged. Inverse of [[expandCurie]] for mapped prefixes.
+    */
+  def compressUri(c: Column, pm: Map[String, String] = PrefixMap): Column = {
+    val whens = pm.toSeq.sortBy { case (_, base) => -base.length }.map {
+      case (p, base) =>
+        when(c.startsWith(base),
+          concat(lit(p + ":"), c.substr(lit(base.length + 1), length(c))))
+    }
+    coalesce(whens :+ c: _*)
+  }
+
   // ===== S-expression netstring form =====
 
   /** `<len>:<value>` (netstring). Lengths are character counts, equal to

@@ -75,6 +75,18 @@ object QueryDsl {
     */
   def normText(c: Column): Column = lower(regexp_replace(c, "[ -]", ""))
 
+  /** The `same_text` composite predicate (query.py:120-144): labels equal
+    * after normalization AND the predicate is skos:exactMatch. Spark's
+    * three-valued logic gives the reference's explicit negative branch
+    * for free: a NULL label makes the predicate NULL, which `filter`
+    * drops on the positive query and `!sameText` also drops on the
+    * negated one — exactly the reference's "both branches require
+    * non-null labels" behavior (sql_database.py:475-496).
+    */
+  def sameText(subjLabel: Column, objLabel: Column, predicate: Column): Column =
+    normText(subjLabel) === normText(objLabel) &&
+      predicate === "skos:exactMatch"
+
   def sortPages(df: DataFrame, sorts: PageSort*): DataFrame =
     df.orderBy(sorts.map(_.column): _*)
 

@@ -206,6 +206,18 @@ class CanonicalSpec extends SparkSpecBase {
       "(7:mapping((10:subject_id41:http://purl.obolibrary.org/obo/HP_0009124)))")
   }
 
+  test("compress is expand's inverse; unknown URIs pass through (models.py:282-293)") {
+    val row = spark.range(1).select(
+      Canonical.compressUri(lit("http://purl.obolibrary.org/obo/HP_0009124"), pm).as("a"),
+      Canonical.compressUri(Canonical.expandCurie(lit("KF_FOOD:F001"), pm), pm).as("b"),
+      Canonical.compressUri(lit("https://unmapped.example/x"), pm).as("c"),
+      Canonical.compressUri(lit(null).cast("string"), pm).as("d")).head()
+    assert(row.getString(0) === "HP:0009124")
+    assert(row.getString(1) === "KF_FOOD:F001")
+    assert(row.getString(2) === "https://unmapped.example/x")
+    assert(row.isNullAt(3))
+  }
+
   test("triple hash golden vectors incl. ~ negation (test_hash.py:197-210)") {
     val rows = spark.range(1).select(
       Canonical.tripleHash(lit("mesh:C000089"), lit("skos:exactMatch"),
