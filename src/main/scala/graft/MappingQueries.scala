@@ -302,6 +302,20 @@ object MappingQueries {
         .select("mapping_id", "channel", "reviewer_id", "reviewer_agreement", "review_date")
     }),
 
+    // publish stamping under the Keep policy (process.py:321-341)
+    "mut_publish" -> ((s, dir) => {
+      val m = Derive.mappings(s, dir)
+      val (stamped, _) = graft.mutate.Mutations.setWithPolicy(
+        m, "publication_date", lit(CurateDate), graft.mutate.Mutations.Keep)
+      stamped.select("mapping_id", "publication_date")
+    }),
+
+    // negate toggle (api.py:533-538): modifier null <-> 'Not'
+    "mut_negate" -> ((s, dir) =>
+      graft.mutate.Mutations.toggleFlag(
+        Derive.mappings(s, dir), "predicate_modifier", "Not")
+        .select("mapping_id", "predicate_modifier")),
+
     // relative-URL fixup (trivial when/concat rewrite, io.py URL hygiene)
     "mut_urlfix" -> ((s, dir) => {
       val wp = Derive.webPages(s, dir)
@@ -503,6 +517,16 @@ object MappingQueries {
          |UNION ALL
          |SELECT mapping_id, 'blocked_reviewed', reviewer_id, reviewer_agreement, review_date
          |FROM mappings WHERE reviewer_id IS NOT NULL""".stripMargin,
+    "mut_publish" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id,
+         |  COALESCE(publication_date, '$CurateDate') AS publication_date
+         |FROM mappings""".stripMargin,
+    "mut_negate" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id,
+         |  CASE WHEN predicate_modifier IS NULL THEN 'Not' END AS predicate_modifier
+         |FROM mappings""".stripMargin,
     "mut_urlfix" ->
       s"""${Derive.duckCte}
          |SELECT doc_id,
