@@ -105,11 +105,16 @@ object MappingQueries {
 
   // ---------- DuckDB mirrors of the canonical machinery ----------
 
-  /** CURIE→URI expansion in DuckDB, generated from Canonical.PrefixMap. */
+  /** CURIE→URI expansion in DuckDB, generated from Canonical.PrefixMap.
+    * Values without a colon pass through unchanged, mirroring the Spark
+    * side's `contains(c, ':')` branch (Canonical.expandCurie) — without
+    * the guard, strpos=0 would render `v:` || v.
+    */
   private def duckExpand(e: String): String = {
     val cases = Canonical.PrefixMap.toSeq.sortBy(_._1)
       .map { case (p, u) => s"WHEN '$p' THEN '$u'" }.mkString(" ")
-    s"((CASE split_part($e, ':', 1) $cases ELSE split_part($e, ':', 1) || ':' END) || substr($e, strpos($e, ':') + 1))"
+    s"(CASE WHEN strpos($e, ':') = 0 THEN $e ELSE " +
+      s"(CASE split_part($e, ':', 1) $cases ELSE split_part($e, ':', 1) || ':' END) || substr($e, strpos($e, ':') + 1) END)"
   }
 
   private def duckNs(e: String): String =

@@ -51,6 +51,13 @@ object Curate {
     "CLOSE" -> "skos:closeMatch",
     "RELATED" -> "skos:relatedMatch")
 
+  /** The 7 valid curation marks (process.py:79-96 `Mark`); anything else
+    * raises ValueError in the reference (process.py:257) and routes to
+    * the blocked channel here.
+    */
+  val ValidMarks: Seq[String] =
+    Seq("correct", "incorrect", "unsure") ++ ScopeMap.keys.toSeq.sorted
+
   private def litMap(m: Map[String, String]): Column =
     map(m.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
 
@@ -70,12 +77,15 @@ object Curate {
     *
     * Returns (curated, blocked): `blocked` holds rows whose
     * justification was already ManualMappingCuration — the reference
-    * raises "should use review workflow" (process.py:217-219); the
-    * engine returns them on the error channel unchanged.
+    * raises "should use review workflow" (process.py:217-219) — and rows
+    * whose mark is not one of the 7 [[ValidMarks]] literals (the
+    * reference raises ValueError, process.py:257); the engine returns
+    * both on the error channel unchanged.
     */
   def curate(df: DataFrame, mark: Column, author: Column,
              confidence: Column, date: Column): (DataFrame, DataFrame) = {
-    val blockedCond = col("justification") === ManualCuration
+    val blockedCond = col("justification") === ManualCuration ||
+      !mark.isin(ValidMarks: _*)
     val isUnsure = mark === "unsure"
     val isStamp = !isUnsure // correct / incorrect / scope marks
     val wasUnsure = col("reviewer_agreement") === 0.0
@@ -103,6 +113,10 @@ object Curate {
         case "similarity_score" =>
           when(isStamp, lit(null).cast("double")).otherwise(col("similarity_score"))
             .as("similarity_score")
+        case "similarity_measure" =>
+          // zeroed alongside mapping_tool/similarity_score (process.py:231-233)
+          when(isStamp, lit(null).cast("string")).otherwise(col("similarity_measure"))
+            .as("similarity_measure")
         case "reviewer_id" =>
           when(isUnsure, author)
             .when(isStamp && wasUnsure, lit(null).cast("string"))
@@ -152,6 +166,12 @@ object Curate {
     * justification = MappingInversion and `derived_from` = the triple
     * hash of the ORIGINAL mapping (process.py:448-450). Non-eligible
     * rows pass through unchanged (derived_from null).
+    *
+    * Composable: when `df` already carries a `derived_from` column (a
+    * previous invert pass), eligible rows REPLACE it with this pass's
+    * lineage and non-eligible rows keep the prior value — composing two
+    * inverts (a normal reference pipeline) yields one well-defined
+    * lineage column, never a duplicate.
     */
   def invertByPredicate(df: DataFrame, pred: Column,
                         derivePolicy: Boolean): DataFrame = {
@@ -160,7 +180,12 @@ object Curate {
     val origTriple = Canonical.tripleHashCurie(
       col("subject_id"), col("predicate_id"), col("object_id"),
       col("predicate_modifier") === "Not")
-    val swapped = df.columns.map {
+    val priorDerived =
+      if (df.columns.contains("derived_from")) col("derived_from")
+      else lit(null).cast("string")
+    val derivedCol = when(eligible && derivePolicy, origTriple)
+      .otherwise(priorDerived).as("derived_from")
+    val swapped = df.columns.filterNot(_ == "derived_from").map {
       case "subject_id" =>
         when(eligible, col("object_id")).otherwise(col("subject_id")).as("subject_id")
       case "object_id" =>
@@ -176,8 +201,7 @@ object Curate {
         when(eligible && derivePolicy, lit(MappingInversion))
           .otherwise(col("justification")).as("justification")
       case other => col(other)
-    } :+ when(eligible && derivePolicy, origTriple)
-      .otherwise(lit(null).cast("string")).as("derived_from")
+    } :+ derivedCol
     df.select(swapped: _*)
   }
 
@@ -190,9 +214,37 @@ object Curate {
         lower(substring_index(col("object_id"), ":", 1)),
       derivePolicy)
 
-  /** invert_narrow_matches (process.py:695-...): narrow → broad. */
+  /** invert_narrow_matches (process.py:695-716): narrow → broad. */
   def invertNarrowMatches(df: DataFrame, derivePolicy: Boolean = false): DataFrame =
     invertByPredicate(df, col("predicate_id") === "skos:narrowMatch", derivePolicy)
+
+  /** invert_broad_matches (process.py:719-739): broad → narrow. */
+  def invertBroadMatches(df: DataFrame, derivePolicy: Boolean = false): DataFrame =
+    invertByPredicate(df, col("predicate_id") === "skos:broadMatch", derivePolicy)
+
+  /** invert_by_subject_prefix (process.py:757-816): invert mappings whose
+    * subject CURIE prefix matches.
+    */
+  def invertBySubjectPrefix(df: DataFrame, prefix: String,
+                            derivePolicy: Boolean = false): DataFrame =
+    invertByPredicate(df,
+      substring_index(col("subject_id"), ":", 1) === prefix, derivePolicy)
+
+  /** invert_by_object_prefix (process.py:819-878). */
+  def invertByObjectPrefix(df: DataFrame, prefix: String,
+                           derivePolicy: Boolean = false): DataFrame =
+    invertByPredicate(df,
+      substring_index(col("object_id"), ":", 1) === prefix, derivePolicy)
+
+  /** invert_by_prefix_pair (process.py:881-947): invert mappings whose
+    * (subject, object) prefixes equal the given pair.
+    */
+  def invertByPrefixPair(df: DataFrame, subjectPrefix: String, objectPrefix: String,
+                         derivePolicy: Boolean = false): DataFrame =
+    invertByPredicate(df,
+      substring_index(col("subject_id"), ":", 1) === subjectPrefix &&
+        substring_index(col("object_id"), ":", 1) === objectPrefix,
+      derivePolicy)
 
   // ===== named curation-state filters =====
 
@@ -224,6 +276,15 @@ object Curate {
     *
     * Callers keep non-manual rows on the original channel
     * (process.py:981-985 passes them through unmerged).
+    *
+    * INTENTIONAL DIVERGENCE: this form aggregates single-member groups
+    * too (they come out in the aggregate schema with a restamped
+    * derived_from), whereas the reference yields lone rows unchanged
+    * with all original fields (process.py:987-989). The aggregate is
+    * idempotent on singles (author set = {author}, noisy-or = c, same
+    * triple), so only the field layout differs. Use
+    * [[mergeCurationsKeepSingles]] for the reference-faithful two-channel
+    * shape.
     */
   def mergeCurations(df: DataFrame): DataFrame = {
     val negated = col("predicate_modifier") === "Not"
@@ -239,6 +300,31 @@ object Curate {
       .withColumn("derived_from",
         Canonical.tripleHashCurie(col("subject_id"), col("predicate_id"),
           col("object_id"), negated))
+  }
+
+  /** Reference-faithful merge (process.py:987-989): only genuine
+    * multi-member triples are rewritten into the aggregate schema; lone
+    * manually-curated rows return on the second channel UNCHANGED with
+    * all their original fields. The group sizes are counted once and the
+    * member-count frame is slim (triple key + count), so the semi/anti
+    * split joins reuse the aggregation's shuffle key.
+    */
+  def mergeCurationsKeepSingles(df: DataFrame): (DataFrame, DataFrame) = {
+    // null-safe triple key: predicate_modifier is null on non-negated rows
+    // and a plain equi-join would never match null=null, misrouting every
+    // non-negated group to the singles channel
+    val modKey = coalesce(col("predicate_modifier"), lit(" ")).as("__mod")
+    val key = Seq("subject_id", "predicate_id", "object_id", "__mod")
+    val manual = df.filter(col("justification") === ManualCuration)
+      .withColumn("__mod", modKey)
+    val multiKeys = manual.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(key.map(col): _*)
+    // using-column joins reorder columns (keys first); restore the layout
+    val merged = mergeCurations(
+      manual.join(multiKeys, key, "left_semi").select(df.columns.map(col): _*))
+    val singles = manual.join(multiKeys, key, "left_anti").select(df.columns.map(col): _*)
+    (merged, singles)
   }
 
   /** remove_trivial_negative (process.py:1041-1056): a negative mapping

@@ -75,17 +75,29 @@ object QueryDsl {
     */
   def normText(c: Column): Column = lower(regexp_replace(c, "[ -]", ""))
 
-  /** The `same_text` composite predicate (query.py:120-144): labels equal
-    * after normalization AND the predicate is skos:exactMatch. Spark's
-    * three-valued logic gives the reference's explicit negative branch
-    * for free: a NULL label makes the predicate NULL, which `filter`
-    * drops on the positive query and `!sameText` also drops on the
-    * negated one — exactly the reference's "both branches require
-    * non-null labels" behavior (sql_database.py:475-496).
+  /** The `same_text` composite POSITIVE predicate (query.py:120-129):
+    * both labels present, equal after normalization, AND the predicate is
+    * skos:exactMatch. Spark's three-valued logic matches the reference's
+    * explicit non-null requirement: a NULL label makes the predicate
+    * NULL, which `filter` drops.
+    *
+    * NOTE: the negated form is NOT `!sameText` — the reference's negative
+    * branch (query.py:131-140) still requires exactMatch and then KEEPS
+    * rows with a missing label or differing normalized labels; use
+    * [[sameTextNegated]].
     */
   def sameText(subjLabel: Column, objLabel: Column, predicate: Column): Column =
     normText(subjLabel) === normText(objLabel) &&
       predicate === "skos:exactMatch"
+
+  /** The `same_text = False` branch (query.py:131-140, "explicitly not
+    * the same"): exactMatch AND (either label missing OR normalized
+    * labels differ).
+    */
+  def sameTextNegated(subjLabel: Column, objLabel: Column, predicate: Column): Column =
+    predicate === "skos:exactMatch" &&
+      (subjLabel.isNull || objLabel.isNull ||
+        normText(subjLabel) =!= normText(objLabel))
 
   def sortPages(df: DataFrame, sorts: PageSort*): DataFrame =
     df.orderBy(sorts.map(_.column): _*)

@@ -128,6 +128,83 @@ class CurateInvertSpec extends SparkSpecBase {
     assert(expected.startsWith("mapping:")) // shape sanity for the mapped form
   }
 
+  test("curate routes unknown marks to the error channel (process.py:257 ValueError)") {
+    val df = mappingsDf(Seq(base(1, "skos:exactMatch"), base(2, "skos:exactMatch")))
+    val (pass, blocked) = curateOne(df, "definitely-not-a-mark")
+    assert(pass.isEmpty)
+    assert(blocked.map(_.getLong(0)).sorted === Seq(1L, 2L))
+    assert(blocked.forall(_.getAs[String]("justification") === lex)) // unchanged
+  }
+
+  test("curate zeroes similarity_measure when the layout has one (process.py:231-233)") {
+    val df = mappingsDf(Seq(base(1, "skos:exactMatch")))
+      .withColumn("similarity_measure", lit("levenshtein"))
+    val (pass, _) = Curate.curate(df, lit("correct"), lit("orcid:charlie"),
+      lit(null).cast("double"), lit("2026-08-16"))
+    assert(pass.collect().head.getAs[String]("similarity_measure") === null)
+  }
+
+  test("composed inverts keep ONE derived_from column; later pass preserves earlier lineage") {
+    val df = mappingsDf(Seq(
+      base(1, "skos:narrowMatch"),     // inverted by pass 1 (→ broad), untouched by pass 2
+      base(2, "skos:exactMatch")))     // untouched by pass 1, inverted by pass 2 (unordered)
+    val once = Curate.invertNarrowMatches(df, derivePolicy = true)
+    val twice = Curate.invertOnUnordered(once, derivePolicy = true)
+    assert(twice.columns.count(_ == "derived_from") === 1)
+    val rows = twice.collect().sortBy(_.getLong(0))
+    // id1: pass 1 swapped to (CHEBI→mesh, broad) = already ordered → pass 2
+    // skips it; pass 1's lineage survives
+    assert(rows(0).getAs[String]("derived_from") !== null)
+    assert(rows(0).getAs[String]("justification") === inv)
+    // id2: (mesh > CHEBI) unordered → pass 2 inverts and stamps its own lineage
+    assert(rows(1).getAs[String]("subject_id") === "CHEBI:28646")
+    assert(rows(1).getAs[String]("derived_from") !== null)
+  }
+
+  test("prefix-driven invert specializations (process.py:757-947, tests/test_process.py:567-670)") {
+    val df = mappingsDf(Seq(
+      base(1, "skos:exactMatch"),   // mesh → CHEBI
+      (2L, "CHEBI:1", "a", "skos:exactMatch", null, "mesh:2", "b",
+        Some(0.5), None, lex, null, null, null, null, Some(0.8))))
+    def subjects(out: DataFrame): Seq[String] =
+      out.orderBy("mapping_id").select("subject_id").as[String].collect().toSeq
+    // subject prefix 'mesh' matches only id1
+    assert(subjects(Curate.invertBySubjectPrefix(df, "mesh"))
+      === Seq("CHEBI:28646", "CHEBI:1"))
+    // object prefix 'mesh' matches only id2
+    assert(subjects(Curate.invertByObjectPrefix(df, "mesh"))
+      === Seq("mesh:C000089", "mesh:2"))
+    // pair (mesh, CHEBI) matches only id1
+    assert(subjects(Curate.invertByPrefixPair(df, "mesh", "CHEBI"))
+      === Seq("CHEBI:28646", "CHEBI:1"))
+    // pair (CHEBI, mesh) matches only id2
+    assert(subjects(Curate.invertByPrefixPair(df, "CHEBI", "mesh"))
+      === Seq("mesh:C000089", "mesh:2"))
+    // broad → narrow twin
+    val broad = mappingsDf(Seq(base(3, "skos:broadMatch")))
+    assert(Curate.invertBroadMatches(broad).collect()
+      .head.getAs[String]("predicate_id") === "skos:narrowMatch")
+  }
+
+  test("mergeCurationsKeepSingles: lone curations pass through unchanged (process.py:987-989)") {
+    val df = Seq(
+      // two-member group (same triple, null modifier — the null-safe-key case)
+      (1L, "ex0:a", "skos:exactMatch", null.asInstanceOf[String], "wd:Q1", man, "orcid:a", Some(0.6)),
+      (2L, "ex0:a", "skos:exactMatch", null.asInstanceOf[String], "wd:Q1", man, "orcid:b", Some(0.5)),
+      // singleton group
+      (3L, "ex0:b", "skos:exactMatch", null.asInstanceOf[String], "wd:Q2", man, "orcid:c", Some(0.9)))
+      .toDF("mapping_id", "subject_id", "predicate_id", "predicate_modifier",
+        "object_id", "justification", "author_id", "confidence")
+    val (merged, singles) = Curate.mergeCurationsKeepSingles(df)
+    val m = merged.collect()
+    assert(m.length === 1 && m.head.getAs[Long]("n_members") === 2L)
+    assert(m.head.getAs[String]("authors") === "orcid:a|orcid:b")
+    val s = singles.collect()
+    assert(s.length === 1 && s.head.getAs[Long]("mapping_id") === 3L)
+    assert(s.head.getAs[Double]("confidence") === 0.9) // original fields intact
+    assert(singles.columns.toSeq === df.columns.toSeq)  // original schema
+  }
+
   test("invert: double-inversion guard and retain policy (process.py:434, 639-677)") {
     val df = mappingsDf(Seq(
       base(1, "skos:narrowMatch", just = inv), // derived → pass through

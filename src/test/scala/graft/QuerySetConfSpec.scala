@@ -37,6 +37,25 @@ class QuerySetConfSpec extends SparkSpecBase {
     assert(r == "alzheimerdiseasex")
   }
 
+  test("sameText vs sameTextNegated: reference branch semantics (query.py:120-140)") {
+    val m = Seq(
+      (1L, "ammeline", "Amme-Line", "skos:exactMatch"),  // same after norm → positive
+      (2L, "ammeline", "different", "skos:exactMatch"),  // differs → negated
+      (3L, null.asInstanceOf[String], "x", "skos:exactMatch"), // null label → negated keeps it
+      (4L, "ammeline", "ammeline", "skos:broadMatch"))   // non-exact → BOTH branches drop
+      .toDF("id", "s_label", "o_label", "pred")
+    def ids(c: org.apache.spark.sql.Column): Set[Long] =
+      m.filter(c).select("id").as[Long].collect().toSet
+    assert(ids(QueryDsl.sameText(col("s_label"), col("o_label"), col("pred"))) === Set(1L))
+    assert(ids(QueryDsl.sameTextNegated(col("s_label"), col("o_label"), col("pred")))
+      === Set(2L, 3L))
+    // the naive !sameText gets BOTH of those wrong: drops the null-label
+    // row and keeps the non-exactMatch row — the reason the named
+    // negation exists
+    assert(ids(!QueryDsl.sameText(col("s_label"), col("o_label"), col("pred")))
+      === Set(2L, 4L))
+  }
+
   test("paginate rejects negatives; sort + topk deterministic") {
     intercept[IllegalArgumentException](QueryDsl.paginate(pages, -1, 5))
     intercept[IllegalArgumentException](QueryDsl.paginate(pages, 0, -5))
