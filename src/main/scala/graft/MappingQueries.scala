@@ -192,6 +192,14 @@ object MappingQueries {
         .select("mapping_id", "subject_id", "predicate_id", "object_id",
           "subject_label", "object_label", "justification", "derived_from")),
 
+    // prefix-pair-driven invert specialization (process.py:881-947):
+    // invert only (ex3 → wd) mappings, with derivation lineage
+    "mut_invert_prefix" -> ((s, dir) =>
+      Curate.invertByPrefixPair(Derive.mappings(s, dir), "ex3", "wd",
+        derivePolicy = true)
+        .select("mapping_id", "subject_id", "predicate_id", "object_id",
+          "justification", "derived_from")),
+
     // curate mark state machine (pass + blocked channels, tagged)
     "mut_curate" -> ((s, dir) => {
       val m = Derive.mappings(s, dir)
@@ -378,6 +386,31 @@ object MappingQueries {
        |FROM mappings""".stripMargin
   }
 
+  /** Predicate-inversion CASE generated from Curate.InversionMap so the
+    * oracle cannot drift from the Spark-side table.
+    */
+  private val duckInvertPred: String =
+    "(CASE predicate_id " +
+      Curate.InversionMap.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") +
+      " END)"
+
+  private val invertPrefixOracle: String = {
+    val elig = "(justification <> 'semapv:MappingInversion' " +
+      "AND split_part(subject_id, ':', 1) = 'ex3' " +
+      "AND split_part(object_id, ':', 1) = 'wd')"
+    val triple = duckTripleHash("subject_id", "predicate_id", "object_id",
+      "COALESCE(predicate_modifier = 'Not', FALSE)")
+    s"""WITH ${Derive.mappingsCte}
+       |SELECT mapping_id,
+       |  CASE WHEN $elig THEN object_id ELSE subject_id END AS subject_id,
+       |  CASE WHEN $elig THEN $duckInvertPred ELSE predicate_id END AS predicate_id,
+       |  CASE WHEN $elig THEN subject_id ELSE object_id END AS object_id,
+       |  CASE WHEN $elig THEN 'semapv:MappingInversion' ELSE justification END AS justification,
+       |  CASE WHEN $elig THEN 'mapping:' || $triple END AS derived_from
+       |FROM mappings""".stripMargin
+  }
+
   private val SortDslLiterals = Seq(
     "date", "+date", "date-published", "+date-published",
     "-confidence", "subject", "object")
@@ -411,6 +444,7 @@ object MappingQueries {
               "COALESCE(predicate_modifier = 'Not', FALSE)")} AS triple_hash
          |FROM mappings""".stripMargin,
     "mut_invert" -> invertOracle,
+    "mut_invert_prefix" -> invertPrefixOracle,
     "mut_curate" -> curateOracle,
     "f_curation" ->
       s"""WITH ${Derive.mappingsCte}

@@ -79,7 +79,12 @@ object SparkEntry {
     }),
 
     // ===== per-partition column statistics (condensation pass analogue) =====
+    // primary entry: HLL++ distinct with its error bound verified against
+    // the exact count and emitted as a boolean (scale path is the sketch;
+    // the exact twin below is the oracle-only variant)
     "m_stats" -> ((s, dir) =>
+      Stats.columnStatsChecked(Derive.webPages(s, dir), Seq("url", "lang"))),
+    "m_stats_exact" -> ((s, dir) =>
       Stats.columnStats(Derive.webPages(s, dir), Seq("url", "lang"), exact = true)
         .withColumnRenamed("column", "col_name")),
     "m_len_hist" -> ((s, dir) =>
@@ -128,8 +133,10 @@ object SparkEntry {
     "digest" -> ((s, dir) =>
       Derive.webPages(s, dir)
         .select(col("part"), col("doc_id"), col("url"), md5(col("text")).as("text_md5"))),
-    // reference-faithful FNV-1a digest (custom codegen expression; no SQL
-    // oracle — golden vectors in Fnv64Spec are the cross-check)
+    // reference-faithful FNV-1a digest (custom codegen expression);
+    // oracle-checked by a byte-level DuckDB fold over the UTF-8 encoding
+    // of the page text (golden vectors in Fnv64Spec remain the
+    // spec-level cross-check)
     "digest_fnv" -> ((s, dir) =>
       Derive.webPages(s, dir)
         .select(col("doc_id"), col("url"),
@@ -228,11 +235,6 @@ object SparkEntry {
           when(countDistinct(col("l_linestatus")) === 1, min(col("l_linestatus")))
             .otherwise(lit(null).cast("string")).as("status_if_uniform"),
           count(lit(1)).as("n_members"))),
-
-    // ===== HLL++ distinct stats (scale path; driver rows-only check) =====
-    "m_stats_hll" -> ((s, dir) =>
-      Stats.columnStats(Derive.webPages(s, dir), Seq("url", "lang"), exact = false)
-        .withColumnRenamed("column", "col_name")),
 
     // ===== row mutations (curate pattern) + same-text normalization =====
     "mut_update" -> ((s, dir) =>
@@ -353,6 +355,51 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS row_count
        |FROM web_pages GROUP BY part""".stripMargin
 
+  /** Oracle twin of Stats.columnStatsChecked: exact stats + a constant
+    * TRUE for the sketch bound — the Spark side emits false (→ red row)
+    * if HLL++ drifts past 3·rsd of the exact count.
+    */
+  private def statsCheckedOracle(c: String): String =
+    s"""SELECT part, '$c' AS col_name,
+       |  round(CAST(sum(CASE WHEN $c IS NULL OR $c = '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS null_rate,
+       |  TRUE AS distinct_ok,
+       |  COALESCE(min($c), 'NULL') AS min, COALESCE(max($c), 'NULL') AS max,
+       |  CAST(count(*) AS BIGINT) AS row_count
+       |FROM web_pages GROUP BY part""".stripMargin
+
+  /** Byte-level FNV-1a-64 fold over the UTF-8 encoding of web_pages.text
+    * in DuckDB: each character expands to its 1-4 UTF-8 bytes by the
+    * standard codepoint arithmetic, then the HUGEINT fold + little-endian
+    * uppercase-hex rendering mirror the reference scheme (api.py:926-936)
+    * exactly — byte-faithful for ANY text, not just ASCII.
+    */
+  private val fnvTextOracle: String =
+    """b AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+      |    ELSE flatten(list_transform(split(text, ''), c ->
+      |      CASE WHEN ord(c) < 128 THEN [CAST(ord(c) AS BIGINT)]
+      |           WHEN ord(c) < 2048 THEN
+      |             [CAST(192 + ord(c) // 64 AS BIGINT), CAST(128 + ord(c) % 64 AS BIGINT)]
+      |           WHEN ord(c) < 65536 THEN
+      |             [CAST(224 + ord(c) // 4096 AS BIGINT), CAST(128 + (ord(c) // 64) % 64 AS BIGINT),
+      |              CAST(128 + ord(c) % 64 AS BIGINT)]
+      |           ELSE
+      |             [CAST(240 + ord(c) // 262144 AS BIGINT), CAST(128 + (ord(c) // 4096) % 64 AS BIGINT),
+      |              CAST(128 + (ord(c) // 64) % 64 AS BIGINT), CAST(128 + ord(c) % 64 AS BIGINT)]
+      |      END)) END AS bytes
+      |  FROM web_pages),
+      |hh AS (SELECT doc_id, url, list_reduce(
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(bytes, x -> CAST(x AS HUGEINT))),
+      |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM b),
+      |fnv AS (SELECT doc_id, url, upper(string_agg(
+      |    substr('0123456789abcdef', CAST(((h >> (8*i)) & 255) >> 4 AS INT) + 1, 1) ||
+      |    substr('0123456789abcdef', CAST((h >> (8*i)) & 15 AS INT) + 1, 1), '' ORDER BY i)) AS fnv64_hex
+      |  FROM hh, generate_series(0, 7) g(i)
+      |  GROUP BY doc_id, url, h)""".stripMargin
+
   /** Shared DuckDB fragment: KL + PSI from two histogram CTEs p/q(key, n). */
   private def klPsiOracle(joined: String): String =
     s"""j AS ($joined),
@@ -429,9 +476,18 @@ object SparkEntry {
          |  ON d.part = pcv.part AND d.check_name = dscons.check_name""".stripMargin,
     "m_stats" ->
       s"""${Derive.duckCte}
+         |${statsCheckedOracle("url")}
+         |UNION ALL
+         |${statsCheckedOracle("lang")}""".stripMargin,
+    "m_stats_exact" ->
+      s"""${Derive.duckCte}
          |${statsColOracle("url")}
          |UNION ALL
          |${statsColOracle("lang")}""".stripMargin,
+    "digest_fnv" ->
+      s"""${Derive.duckCte},
+         |$fnvTextOracle
+         |SELECT doc_id, url, fnv64_hex FROM fnv""".stripMargin,
     "m_len_hist" ->
       s"""${Derive.duckCte}
          |SELECT part, CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS bucket,

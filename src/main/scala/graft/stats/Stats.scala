@@ -48,6 +48,49 @@ object Stats {
         col("row_count"))
   }
 
+  /** HLL++ accuracy verification: per (part, column), the exact stats
+    * (null_rate, min, max, row_count) PLUS `distinct_ok` — whether the
+    * HLL++ estimate (`approx_count_distinct` at the given rsd) is within
+    * 3·rsd of the exact distinct count. Emitting the bound check as a
+    * boolean makes the sketch oracle-checkable with exact comparisons:
+    * the DuckDB oracle computes the same exact stats and a constant TRUE,
+    * so a sketch drifting past its documented error bound turns the row
+    * red in the correctness gate.
+    *
+    * VERIFICATION-ONLY at scale: this computes exact `countDistinct`
+    * alongside the sketch (the multi-distinct Expand), because grading a
+    * sketch needs the truth. The production entry point is
+    * [[columnStats]] with its `exact = false` default.
+    */
+  def columnStatsChecked(df: DataFrame, columns: Seq[String],
+                         rsd: Double = 0.05): DataFrame = {
+    val aggs: Seq[Column] = columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"hll_$c"),
+        countDistinct(col(c)).as(s"exact_$c"),
+        min(col(c).cast("string")).as(s"min_$c"),
+        max(col(c).cast("string")).as(s"max_$c"))
+    } :+ count(lit(1)).as("row_count")
+    val g = df.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+    val entries = array(columns.map(c => struct(
+      lit(c).as("column"),
+      col(s"nulls_$c").as("null_count"),
+      (abs(col(s"hll_$c") - col(s"exact_$c")).cast("double") <=
+        lit(3 * rsd) * greatest(col(s"exact_$c"), lit(1L)).cast("double")).as("distinct_ok"),
+      coalesce(col(s"min_$c"), lit("NULL")).as("min"),
+      coalesce(col(s"max_$c"), lit("NULL")).as("max"))): _*)
+    g.select(col("part"), col("row_count"), explode(entries).as("e"))
+      .select(
+        col("part"),
+        col("e.column").as("col_name"),
+        round(col("e.null_count").cast("double") / col("row_count"), 6).as("null_rate"),
+        col("e.distinct_ok"),
+        col("e.min").as("min"),
+        col("e.max").as("max"),
+        col("row_count"))
+  }
+
   /** Per-partition log2 length histogram over a string column:
     * bucket = floor(log2(max(length, 1))). Reference analogue: the
     * distribution counters of query.py:274-291; at scale this is one
