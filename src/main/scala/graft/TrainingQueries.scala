@@ -59,9 +59,16 @@ object TrainingQueries {
       Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 5)
     }),
 
-    // ===== multimodal plumbing (metadata projection; decode is stubbed) =====
+    // ===== multimodal: metadata projection + REAL image decode =====
     "mm_features" -> ((s, dir) =>
-      Multimodal.metadata(Derive.webPages(s, dir), "doc_id", "html"))
+      Multimodal.metadata(Derive.webPages(s, dir), "doc_id", "html")),
+    // deterministic PNGs encoded then DECODED via javax.imageio; features
+    // come from the decoded raster, and PNG losslessness makes the
+    // generating arithmetic the oracle
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeImageFeatures(s,
+        Multimodal.withSyntheticPng(s,
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")).toDF())
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -253,6 +260,27 @@ object TrainingQueries {
       s"""${Derive.duckCte}
          |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_bytes,
          |       substr(html, 1, 12) AS head
-         |FROM web_pages""".stripMargin
+         |FROM web_pages""".stripMargin,
+    // mirrors Multimodal.syntheticPixel/syntheticDims — the decoded-pixel
+    // sums equal the generating arithmetic because PNG is lossless
+    "mm_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |         CAST(8 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 14)) AS y),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |         (d.doc_id * 31 + xs.x * 7  + ys.y * 13) % 256 AS r,
+        |         (d.doc_id * 17 + xs.x * 11 + ys.y * 3 ) % 256 AS g,
+        |         (d.doc_id * 29 + xs.x * 5  + ys.y * 19) % 256 AS b
+        |  FROM dims d CROSS JOIN xs CROSS JOIN ys
+        |  WHERE xs.x < d.width AND ys.y < d.height)
+        |SELECT doc_id, width, height,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, width, height""".stripMargin
   )
 }

@@ -105,15 +105,39 @@ class TextSimSpec extends SparkSpecBase {
     assert(topk.count() >= 0) // shape check; same-bucket guarantee is structural
   }
 
-  test("multimodal stub: deterministic features, batched extraction, null-safe") {
-    val f1 = Multimodal.fakeDecode("hello world".getBytes)
-    val f2 = Multimodal.fakeDecode("hello world".getBytes)
-    assert(f1.toSeq == f2.toSeq && f1.length == Multimodal.FeatureDim)
-    assert(Multimodal.fakeDecode(Array.emptyByteArray).toSeq == Seq.fill(8)(0.0f))
-    val df = Seq((1L, "abc".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
-      .toDF("doc_id", "payload")
-    val got = Multimodal.extractFeatures(spark, df, "doc_id", "payload")
-      .collect().map(m => m.doc_id -> m.n_bytes).toMap
-    assert(got == Map(1L -> 3L, 2L -> 0L))
+  test("image decode: golden PNG round-trips pixel-exact through ImageIO") {
+    // hand-built 2x2 image with known channel values
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (50 << 8) | 60)
+    img.setRGB(0, 1, (70 << 16) | (80 << 8) | 90)
+    img.setRGB(1, 1, (255 << 16) | (0 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = spark.createDataset(Seq(Multimodal.PngDoc(7L, bos.toByteArray)))
+    val f = Multimodal.decodeImageFeatures(spark, ds).collect().head
+    assert((f.width, f.height) === (2, 2))
+    assert((f.sum_r, f.sum_g, f.sum_b) === (10L + 40 + 70 + 255, 20L + 50 + 80 + 0, 30L + 60 + 90 + 128))
+  }
+
+  test("image decode: synthetic PNGs decode to the generating arithmetic; poison blobs skipped") {
+    val ids = Seq(0L, 5L, 123L, 4096L)
+    val ds = spark.createDataset(
+      ids.map(d => Multimodal.PngDoc(d, Multimodal.syntheticPng(d))) :+
+        Multimodal.PngDoc(999L, "not a png at all".getBytes))
+    val got = Multimodal.decodeImageFeatures(spark, ds)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(!got.contains(999L), "undecodable payload must be skipped, not fatal")
+    for (d <- ids) {
+      val (w, h) = Multimodal.syntheticDims(d)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.syntheticPixel(d, x, y)
+        sr += r; sg += g; sb += b
+      }
+      val f = got(d)
+      assert((f.width, f.height, f.sum_r, f.sum_g, f.sum_b) === ((w, h, sr, sg, sb)), s"doc $d")
+    }
   }
 }
