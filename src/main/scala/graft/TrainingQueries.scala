@@ -26,9 +26,9 @@ object TrainingQueries {
       TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet"), "text")),
 
     // ===== near-dup detection =====
-    "sim_ngram_pairs" -> ((s, dir) =>
-      Sim.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", n = 3, threshold = 0.2)),
+    // (the exact all-pairs ngram-Jaccard baseline is a TEST ORACLE, not a
+    // suite entry — TextSimSpec grades MinHash LSH recall against it; the
+    // default suite contains no all-pairs operator)
     "sim_minhash_sig" -> ((s, dir) =>
       Sim.minhashSignatures(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 3, k = 8)),
@@ -168,17 +168,6 @@ object TrainingQueries {
          |SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0
          |  ELSE list_reduce(hs, (a, b) -> (a * 31 + b) % 1000003) END AS BIGINT) AS fp
          |FROM h""".stripMargin,
-    "sim_ngram_pairs" ->
-      s"""WITH $toksCte, $shinglesCte,
-         |hsh AS (SELECT doc_id, list_distinct(list_transform(shs, s -> ${md5Int("s", 15)})) AS hs FROM sh),
-         |inv AS (SELECT doc_id, unnest(hs) AS s FROM hsh),
-         |inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
-         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(hs) AS sz FROM hsh)
-         |SELECT * FROM (
-         |  SELECT id_1, id_2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
-         |  FROM inter JOIN sz s1 ON s1.doc_id = id_1 JOIN sz s2 ON s2.doc_id = id_2
-         |) t WHERE jac >= 0.2""".stripMargin,
     "sim_minhash_sig" ->
       s"""WITH $toksCte, $shinglesCte
          |SELECT doc_id AS id, ${minhashCols.mkString(",\n  ")}

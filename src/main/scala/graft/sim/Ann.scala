@@ -77,20 +77,36 @@ object Ann {
     * baseline.
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                      dim: Int, threshold: Double, nPlanes: Int = 8): DataFrame = {
+                      dim: Int, threshold: Double, nPlanes: Int = 8): DataFrame =
+    lshNearDupPairsMulti(corpus, idCol, vecCol, dim, threshold, nPlanes, nTables = 1)
+
+  /** OR-composed multi-table variant: `nTables` INDEPENDENT plane sets
+    * (table t uses planes t·nPlanes … t·nPlanes+nPlanes−1 via the plane
+    * index in [[hyperplaneWeight]]), each probed with the 1-bit Hamming
+    * ring; a pair is a candidate if ANY table surfaces it. Misses
+    * multiply across tables (p_miss^nTables), which is what buys a
+    * recall FLOOR (AnnRecallSpec asserts it) at nTables× slim-row cost —
+    * the candidate join stays a (probe, key) equi join, no all-pairs
+    * shape anywhere (PlanSpec).
+    */
+  def lshNearDupPairsMulti(corpus: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, threshold: Double, nPlanes: Int = 8,
+                           nTables: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+      .withColumns(Map((0 until nTables).map(t =>
+        s"bucket_$t" -> lshBucket(col("v"), dim, nPlanes, planeOffset = t * nPlanes)): _*))
     // slim probe keys; the bucketed index feeds key-gen + two re-attach
     // joins (at scale this is a materialized index table; persist is the
     // in-session equivalent — callers clear cache when done)
     // explode_outer: plain explode triggers InferFiltersFromGenerate,
     // which inlines the generator (and the lshBucket expression under it)
     // into a pre-Project Filter — the 3×-evaluation trap
+    // probe id = t*nPlanes + j, so keys from different tables never meet
     val keys = c.select(col("id"),
-      explode_outer(array((0 until nPlanes).map { j =>
-        struct(lit(j).as("probe"),
-          col("bucket").bitwiseAND(lit(~(1L << j))).as("key"))
-      }: _*)).as("pk"))
+      explode_outer(array((for (t <- 0 until nTables; j <- 0 until nPlanes) yield {
+        struct(lit(t * nPlanes + j).as("probe"),
+          col(s"bucket_$t").bitwiseAND(lit(~(1L << j))).as("key"))
+      }): _*)).as("pk"))
       .filter(col("pk").isNotNull)
       .select(col("id"), col("pk.probe"), col("pk.key"))
     val candidates = keys.as("a").join(keys.as("b"),
@@ -117,10 +133,13 @@ object Ann {
   /** Random-hyperplane LSH bucket id over `nPlanes` planes: bit j set
     * when dot(v, w_j) > 0. Row-local. The dot is rounded before the sign
     * test so a ±1-ulp summation difference can't flip a bucket bit.
+    * `planeOffset` selects an independent plane set (multi-table LSH:
+    * table t passes t·nPlanes).
     */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val w = transform(sequence(lit(1), lit(dim)), d => hyperplaneWeight(lit(j), d))
+      val w = transform(sequence(lit(1), lit(dim)),
+        d => hyperplaneWeight(lit(planeOffset + j), d))
       val dot = aggregate(zip_with(vec, w, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
       when(round(dot, 9) > 0, lit(1L << j)).otherwise(0L)
     }

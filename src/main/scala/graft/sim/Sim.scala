@@ -71,10 +71,14 @@ object Sim {
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode hashed shingles, self-join on the 64-bit shingle id, count
-    * shared shingles per pair, compute jaccard from the counts. Baseline
-    * for MinHash; the shingle join is the scale bottleneck by
-    * construction (every co-occurring pair meets — MinHash LSH is the
-    * 100 TB path).
+    * shared shingles per pair, compute jaccard from the counts.
+    *
+    * TEST ORACLE ONLY (the `cosineNearDupPairsExact` precedent): every
+    * co-occurring pair meets in the shingle join — O(pairs) through the
+    * shuffle, quadratic on near-duplicate-heavy corpora — so this is NOT
+    * a suite entry. It exists to grade [[minhashLshPairs]]' recall at
+    * tiny scale (TextSimSpec); the engine's n-gram near-dup entry point
+    * is MinHash LSH.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.2): DataFrame = {

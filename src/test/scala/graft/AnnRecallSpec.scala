@@ -28,6 +28,55 @@ class AnnRecallSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-table LSH: candidates strictly widen; driver-data recall measured") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Ann.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.35))
+    val single = pairSet(Ann.lshNearDupPairs(e, "vec_id", "embedding", 64, 0.35))
+    val multi = pairSet(Ann.lshNearDupPairsMulti(e, "vec_id", "embedding", 64, 0.35))
+    info(f"thr=0.35: exact=${exact.size} single=${single.size} multi=${multi.size} " +
+      f"recall_single=${single.size.toDouble / exact.size}%.3f " +
+      f"recall_multi=${multi.size.toDouble / exact.size}%.3f")
+    assert(single.subsetOf(multi), "table 0 of the multi index IS the single index")
+    assert(multi.subsetOf(exact), "cosine is verified — no false positives")
+    assert(multi.size > single.size,
+      "independent tables must surface pairs the first table missed")
+  }
+
+  test("RECALL FLOOR: multi-table LSH finds >= 0.9 of true near-dups at threshold 0.85") {
+    // seeded corpus with PLANTED near-duplicates: 100 pairs at cos ~0.97
+    // (members = base + 0.25*independent-gaussian noise) over iid
+    // gaussian base vectors (java.util.Random is LCG-specified, so the
+    // corpus is deterministic) whose pairwise cosines sit near
+    // N(0, 1/64) — the exact pair set at 0.85 is precisely the planted
+    // pairs. Documented floor: recall >= 0.9 with the default 3-table,
+    // 8-plane, 1-bit-probe index (expected ~0.99; a plan change trading
+    // recall for speed fails here).
+    val dim = 64
+    def gauss(seed: Long): Array[Float] = {
+      val rnd = new java.util.Random(seed)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val rows = (0 until 100).flatMap { k =>
+      val b = gauss(k)
+      val n = gauss(k + 100000)
+      val m2 = Array.tabulate(dim)(d => b(d) + 0.25f * n(d))
+      Seq((2L * k, b), (2L * k + 1, m2))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Ann.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.85))
+    assert(exact.size >= 95 && exact.size <= 105,
+      s"planting failed: ${exact.size} true pairs (expected ~100 planted)")
+    val multi = pairSet(Ann.lshNearDupPairsMulti(e, "vec_id", "embedding", dim, 0.85))
+    val recall = multi.size.toDouble / exact.size
+    info(f"planted-corpus recall at 0.85: $recall%.3f (${multi.size}/${exact.size})")
+    assert(multi.subsetOf(exact))
+    assert(recall >= 0.9, f"recall floor broken: $recall%.3f < 0.9")
+  }
+
   test("planted near-identical vectors always collide (bucket-stable)") {
     val dim = 64
     val base = Array.tabulate(dim)(i => math.sin(i * 1.7).toFloat)

@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in near-dup plan:\n$p")
   }
 
+  test("every suite near-dup/LSH query stays equi-join-only (no all-pairs shapes)") {
+    // the default suite contains no all-pairs operator: the exact
+    // baselines (ngramJaccardPairs, cosineNearDupPairsExact) are test
+    // oracles, and every candidate join here must be a band/bucket-keyed
+    // equi join
+    for (name <- Seq("sim_minhash_lsh", "sim_simhash_pairs", "emb_neardup")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in $name:\n$p")
+    }
+    assert(!SparkEntry.queries.contains("sim_ngram_pairs"),
+      "all-pairs ngram baseline must stay demoted to a test oracle")
+  }
+
   test("digest_record is a pure scan-side projection (no shuffle, no UDF)") {
     val p = planOf("digest_record")
     assert(!p.contains("Exchange"), s"record hashing must not shuffle:\n$p")
