@@ -42,6 +42,37 @@ object DatasetChecks {
         lit("no_fetch_record").as("detail"),
         lit("processing").as("stage"))
 
+  /** Both url-keyed dataset checks (uniqueness + lineage RI) as ONE plan
+    * over storage-co-located inputs: when `pages` and `lineage` are read
+    * from tables bucketed by url with the same bucket count
+    * ([[graft.io.Tables.writeBucketed]]), this entire union — groupBy,
+    * keeper re-attach join, distinct, anti join — plans with ZERO
+    * exchanges (PlanSpec asserts it): the url shuffle was paid once at
+    * write time. Joins are merge-hinted because the 100 TB shape is
+    * fact-fact — a size-misestimated broadcast would both re-materialize
+    * a huge side per executor and defeat the bucketed layout.
+    */
+  def urlChecksColocated(pages: DataFrame, lineage: DataFrame, ord: Column): DataFrame = {
+    // keepers groups by the bucket column ITSELF (no alias) so the
+    // aggregate inherits the scan's hash distribution verbatim
+    val keepers = pages.groupBy(col("url"))
+      .agg(max_by(col("doc_id"), ord).as("__keep"))
+      .hint("merge")
+    val uniq = pages.hint("merge").join(keepers, Seq("url"))
+      .filter(col("doc_id") =!= col("__keep"))
+      .select(col("part"), col("doc_id"), col("url"),
+        lit("url_unique").as("check_name"),
+        concat(lit("duplicate_of_"), col("__keep")).as("detail"),
+        lit("processing").as("stage"))
+    val parentKeys = lineage.select(col("url")).distinct().hint("merge")
+    val ri = pages.hint("merge").join(parentKeys, Seq("url"), "left_anti")
+      .select(col("part"), col("doc_id"), col("url"),
+        lit("url_lineage").as("check_name"),
+        lit("no_fetch_record").as("detail"),
+        lit("processing").as("stage"))
+    uniq.unionByName(ri)
+  }
+
   /** Fold violation rows into the dense per-(part, check) verdict grid
     * shape, given the per-part row counts of the checked subset.
     */

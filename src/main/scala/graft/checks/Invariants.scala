@@ -62,19 +62,35 @@ object Invariants {
     * changes (SURVEY §7.4 "partition must mean the table's partition
     * column" hazard, observable with the doc_id-partitioned Derive table).
     */
-  def checkAndStoreDigests(spark: org.apache.spark.sql.SparkSession,
-                           batch: DataFrame, root: String, runId: String): DataFrame = {
-    import graft.io.Tables
-    val path = s"$root/digests"
-    // one CANONICAL digest per url (min over duplicates, deterministic):
-    // divergent duplicate urls are the uniqueness check's finding, not a
-    // digest-invariant break — the invariant is about the url's canonical
-    // text changing across runs
-    val cur = batch.filter(col("url").isNotNull)
+  /** One CANONICAL digest row per url (min over duplicates,
+    * deterministic): divergent duplicate urls are the uniqueness check's
+    * finding, not a digest-invariant break — the invariant is about the
+    * url's canonical text changing across runs. Over a url-bucketed scan
+    * the groupBy inherits the storage distribution: no exchange.
+    */
+  def canonicalDigests(batch: DataFrame): DataFrame =
+    batch.filter(col("url").isNotNull)
       .select(col("part"), col("url"), textDigest(col("text")).as("digest"))
       .groupBy(col("url"))
       .agg(min(col("part")).as("part"), min(col("digest")).as("digest"))
       .select(col("part"), col("url"), col("digest"))
+
+  /** Digest-invariant violation rows of `cur` against a stored
+    * one-row-per-url baseline (standard violation shape, sans run_id).
+    */
+  def digestViolationsAgainst(cur: DataFrame, prev: DataFrame): DataFrame =
+    cur.join(prev, Seq("url"))
+      .filter(col("digest") =!= col("digest_prev"))
+      .select(col("part"), col("url"),
+        lit("text_digest").as("check_name"),
+        concat(col("digest_prev"), lit("->"), col("digest")).as("detail"),
+        lit("processing").as("stage"))
+
+  def checkAndStoreDigests(spark: org.apache.spark.sql.SparkSession,
+                           batch: DataFrame, root: String, runId: String): DataFrame = {
+    import graft.io.Tables
+    val path = s"$root/digests"
+    val cur = canonicalDigests(batch)
     if (!Tables.exists(spark, path)) {
       Tables.appendWithSchemaCheck(spark,
         cur.withColumn("run_id", lit(runId)), path)
@@ -85,18 +101,45 @@ object Invariants {
     // one row per url by construction — no distinct() over history needed
     val prev = Tables.read(spark, path)
       .select(col("url"), col("digest").as("digest_prev"))
-    val violations = cur.join(prev, Seq("url"))
-      .filter(col("digest") =!= col("digest_prev"))
-      .select(col("part"), col("url"),
-        lit("text_digest").as("check_name"),
-        concat(col("digest_prev"), lit("->"), col("digest")).as("detail"),
-        lit("processing").as("stage"))
-    val out = violations.withColumn("run_id", lit(runId)).persist()
+    val out = digestViolationsAgainst(cur, prev)
+      .withColumn("run_id", lit(runId)).persist()
     out.count() // materialize BEFORE appending new digests below
     val newUrls = cur.join(prev.select(col("url")), Seq("url"), "left_anti")
     Tables.appendWithSchemaCheck(spark,
       newUrls.select(col("part"), col("url"), col("digest"))
         .withColumn("run_id", lit(runId)), path)
+    out
+  }
+
+  /** Bucketed twin of [[checkAndStoreDigests]]: the digest STORE is a
+    * url-bucketed catalog table ([[graft.io.Tables.writeBucketed]]), so
+    * when the batch also comes from a url-bucketed scan the compare join
+    * AND the append-if-absent anti join both run with zero exchanges —
+    * the cross-run invariant never re-shuffles the fact table. Joins are
+    * merge-hinted (fact-fact; see [[graft.checks.DatasetChecks.urlChecksColocated]]).
+    */
+  def checkAndStoreDigestsBucketed(spark: org.apache.spark.sql.SparkSession,
+                                   batch: DataFrame, table: String, path: String,
+                                   runId: String, buckets: Int = 8): DataFrame = {
+    import graft.io.Tables
+    val cur = canonicalDigests(batch)
+    if (!spark.catalog.tableExists(table)) {
+      Tables.writeBucketed(cur.withColumn("run_id", lit(runId)),
+        table, path, "url", buckets)
+      return cur.limit(0).select(col("part"), col("url"),
+        lit("text_digest").as("check_name"), lit("").as("detail"),
+        lit("processing").as("stage")).withColumn("run_id", lit(runId))
+    }
+    val prev = spark.table(table)
+      .select(col("url"), col("digest").as("digest_prev")).hint("merge")
+    val out = digestViolationsAgainst(cur.hint("merge"), prev)
+      .withColumn("run_id", lit(runId)).persist()
+    out.count() // materialize BEFORE appending new digests below
+    val newUrls = cur.hint("merge")
+      .join(prev.select(col("url")).hint("merge"), Seq("url"), "left_anti")
+    Tables.appendBucketed(spark,
+      newUrls.select(col("part"), col("url"), col("digest"))
+        .withColumn("run_id", lit(runId)), table, path, "url", buckets)
     out
   }
 }

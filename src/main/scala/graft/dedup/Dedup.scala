@@ -63,13 +63,17 @@ object Dedup {
   /** Referential-integrity check: rows of `child` whose `key` has no match
     * in `parent` — the dangling-lineage left-anti join (reference:
     * database/neo4j_database.py:118-121 `derived_from` edges; SURVEY §2.4).
-    * Broadcast the parent keys when small; at scale both sides shuffle on
-    * the key (sort-merge), which AQE converts / skew-splits as needed.
+    * Broadcast the parent keys when small; at scale the non-broadcast
+    * path PINS a shuffled sort-merge anti join (merge hint): the parent
+    * key set of a 100 TB fact table never fits an executor, and a
+    * size-misestimate must not silently flip the plan to broadcast. AQE
+    * skew-join then splits hot-key partitions at runtime (SkewBench
+    * exercises a key holding ~10% of all child rows through this path).
     */
   def danglingRows(child: DataFrame, parent: DataFrame, keyCol: String,
                    broadcastParent: Boolean = false): DataFrame = {
     val parentKeys = parent.select(col(keyCol)).distinct()
-    val p = if (broadcastParent) broadcast(parentKeys) else parentKeys
-    child.join(p, Seq(keyCol), "left_anti")
+    if (broadcastParent) child.join(broadcast(parentKeys), Seq(keyCol), "left_anti")
+    else child.hint("merge").join(parentKeys.hint("merge"), Seq(keyCol), "left_anti")
   }
 }

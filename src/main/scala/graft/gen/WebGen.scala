@@ -33,15 +33,18 @@ object WebGen {
     val d = col("id")
     val vocab = array(Vocab.map(lit): _*)
 
+    // ~1% duplicate urls: point at another doc's page. The domain hash
+    // keys off urlDoc (NOT d) so both members of a dup pair build the
+    // IDENTICAL url — hashing off d gave each row its own domain and no
+    // url ever actually duplicated. Skew mode additionally makes ~10% of
+    // ALL rows share ONE hot url — the pathological dedup key the salted
+    // two-phase variant exists for.
+    val urlDoc = when(d % 101 === 13, d - 1000).otherwise(d)
+
     // domain: skew mode sends every even-hash row to domain 0 (one hot
     // domain holds ~50% of all pages); otherwise uniform over 1000
-    val domRaw = h(seed + 1, d) % 1000
-    val domain = if (skew) when(h(seed + 2, d) % 2 === 0, lit(0L)).otherwise(domRaw) else domRaw
-
-    // ~1% duplicate urls: point at another doc in the same domain bucket.
-    // skew mode additionally makes ~10% of ALL rows share ONE hot url —
-    // the pathological dedup key the salted two-phase variant exists for.
-    val urlDoc = when(d % 101 === 13, d - 1000).otherwise(d)
+    val domRaw = h(seed + 1, urlDoc) % 1000
+    val domain = if (skew) when(h(seed + 2, urlDoc) % 2 === 0, lit(0L)).otherwise(domRaw) else domRaw
     val baseUrl = concat(lit("https://d"), domain, lit(".example.org/p/"), urlDoc)
     val urlNoSkew = when(d % 97 === 3, lit(null).cast("string"))
       .when(d % 97 === 5, concat(lit("bad url "), d))

@@ -33,6 +33,52 @@ object Tables {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Write a table hash-BUCKETED by `bucketCol` (sorted within buckets) —
+    * the storage layout that amortizes the url shuffle: pay one
+    * write-time repartition, then every url-keyed join / aggregate /
+    * anti join over the table plans with ZERO exchanges (BucketSpec).
+    * This is the single-box twin of an Iceberg `bucket(N, url)` partition
+    * transform (north rule: explicit repartitioning by url-hash).
+    *
+    * Bucketing metadata lives in the session catalog (Spark cannot
+    * express bucketed writes path-only), so the table gets a NAME;
+    * `path` keeps the files outside the warehouse for test hygiene.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String = "url", buckets: Int = 8,
+                    mode: String = "error"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).format("parquet").saveAsTable(table)
+
+  /** Bucketed twin of [[appendWithSchemaCheck]]: same header contract,
+    * appends THROUGH the catalog so every appended file lands in its
+    * url-hash bucket (a plain parquet append would break the layout —
+    * Spark validates the bucket spec on catalog appends).
+    */
+  def appendBucketed(spark: SparkSession, df: DataFrame, table: String,
+                     path: String, bucketCol: String = "url",
+                     buckets: Int = 8): Unit = {
+    if (spark.catalog.tableExists(table)) {
+      val existing = spark.table(table).schema
+      val have = existing.fields.map(f => f.name -> f.dataType).toMap
+      val incoming = df.schema.fields
+      val newCols = incoming.filter(f => !have.contains(f.name))
+      require(newCols.isEmpty,
+        s"append would introduce new columns: ${newCols.map(_.name).mkString(", ")}")
+      val missing = have.keySet -- incoming.map(_.name).toSet
+      require(missing.isEmpty,
+        s"append is missing columns: ${missing.mkString(", ")}")
+      val mismatched = incoming.filter(f => have(f.name) != f.dataType)
+      require(mismatched.isEmpty,
+        s"append would change column types: ${mismatched.map(_.name).mkString(", ")}")
+      val aligned = df.select(existing.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      aligned.write.mode("append")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .format("parquet").saveAsTable(table)
+    } else writeBucketed(df, table, path, bucketCol, buckets)
+  }
+
   /** Append with the reference's header-compatibility contract
     * (io.py:381-387): the incoming schema must not introduce columns the
     * table doesn't already have; missing columns are an error too (strict

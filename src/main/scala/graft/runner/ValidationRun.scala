@@ -88,6 +88,100 @@ object ValidationRun {
     } finally batch.unpersist()
   }
 
+  /** Bucketed-layout variant of [[run]] — the main pass over the
+    * write-once-shuffle storage layout ([[graft.io.Tables.writeBucketed]]):
+    * `pages` and `lineage` are scans of catalog tables bucketed by url
+    * with the same bucket count (partition-pruning filters on top are
+    * fine — they preserve the storage distribution), and the digest
+    * store is kept bucketed too, so EVERY url-keyed operation in the pass — uniqueness dedup
+    * check, lineage referential integrity, cross-run digest compare and
+    * its append-if-absent — plans with zero exchanges (PlanSpec asserts
+    * the composed plan). On a cluster this layout is an Iceberg
+    * `bucket(N, url)` partition transform; repeated validation runs never
+    * re-shuffle the fact table.
+    *
+    * Additional outputs vs [[run]]: the two dataset checks append their
+    * violation rows (with `doc_id` provenance) to `url_violations` and
+    * join the per-(part, check) verdict grid alongside the row
+    * constraints.
+    *
+    * No `persist`: each output pass re-scans the bucketed table with
+    * pruned columns — cheaper than dragging text+html through a
+    * deserialized cache, and a cache would hide the storage
+    * distribution the pass exists to exploit (ScalingBench note).
+    *
+    * Correctness requires url-co-partitioned input (`part` derived from
+    * url-hash, as [[graft.gen.WebGen.pages]] does): resumed batches are
+    * unions of whole table partitions, so a url never spans batches and
+    * uniqueness/digest results compose (see [[graft.checks.Invariants]]).
+    */
+  def runBucketed(spark: SparkSession, pages: DataFrame, lineage: DataFrame,
+                  suite: Seq[Constraint], root: String, runId: String,
+                  statsColumns: Seq[String] = Seq("url", "lang"),
+                  buckets: Int = 8): Report = {
+    val done = Checkpoint.completedParts(spark, root)
+    val todo = if (done.isEmpty) pages
+      else pages.filter(!col("part").isin(done.toSeq: _*))
+    val parts = todo.select("part").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (parts.isEmpty) return Report(runId, Checkpoint.latestSnapshotId(spark, root), Nil, 0L)
+
+    val viol = Runner.violations(todo, suite, Seq("url"))
+      .withColumn("run_id", lit(runId))
+    Tables.appendWithSchemaCheck(spark, viol, violationsPath(root))
+
+    // url-keyed dataset checks over the co-located layout (zero-exchange
+    // plan); only well-formed urls participate — the malformed ones are
+    // the row suite's finding, and they'd all "dangle" as noise here
+    val valid = todo.filter(col("url").isNotNull && length(col("url")) > 0 &&
+      col("url").rlike(graft.constraints.Constraints.UrlPattern))
+    val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
+      (-col("doc_id")).as("negid"))
+    val urlViol = graft.checks.DatasetChecks
+      .urlChecksColocated(valid, lineage, ord)
+      .withColumn("run_id", lit(runId))
+    Tables.appendWithSchemaCheck(spark, urlViol, s"$root/url_violations")
+
+    val pc = valid.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+    val verd = Runner.verdicts(todo, suite)
+      .unionByName(graft.checks.DatasetChecks.verdictsFromViolations(
+        spark.read.parquet(s"$root/url_violations")
+          .filter(col("run_id") === runId)
+          .dropDuplicates("run_id", "part", "doc_id", "check_name"),
+        pc, Seq("url_unique", "url_lineage")))
+      .withColumn("run_id", lit(runId))
+    Tables.appendWithSchemaCheck(spark, verd, verdictsPath(root))
+
+    val stats = Stats.columnStats(todo, statsColumns)
+      .withColumn("run_id", lit(runId))
+    Tables.appendWithSchemaCheck(spark, stats, metricsPath(root))
+
+    val lenHist = Stats.lengthHistogram(todo, "text")
+      .withColumn("run_id", lit(runId))
+    Tables.appendWithSchemaCheck(spark, lenHist, s"$root/len_hist")
+
+    // cross-run digest invariant against the BUCKETED store — compare
+    // join and append-if-absent anti join are both exchange-free
+    val digViol = graft.checks.Invariants.checkAndStoreDigestsBucketed(
+      spark, todo, digestTableName(root), s"$root/digests_bkt", runId, buckets)
+    Tables.appendWithSchemaCheck(spark, digViol, violationsPath(root))
+
+    val rows = todo.count()
+    val snap = Checkpoint.commit(spark, root, runId, parts)
+    val lineageRows = todo.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("snapshot_id", lit(snap))
+      .withColumn("committed_at", current_timestamp())
+    Tables.appendWithSchemaCheck(spark, lineageRows, lineagePath(root))
+
+    Report(runId, snap, parts, rows)
+  }
+
+  /** Catalog name for a root's bucketed digest store (String.hashCode is
+    * JVM-spec'd, so the name is deterministic per root).
+    */
+  def digestTableName(root: String): String =
+    s"graft_digests_${Integer.toHexString(root.hashCode)}"
+
   /** Read back the verdicts table deduped by idempotence key — what a
     * consumer sees after any number of crashed/retried appends.
     */

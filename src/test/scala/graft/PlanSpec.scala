@@ -34,6 +34,79 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("non-broadcast RI path pins a shuffled sort-merge anti join (the 100 TB shape)") {
+    // broadcastParent=false is the fact-fact path: the plan must be a
+    // SortMergeJoin LeftAnti with NO broadcast anywhere — a size
+    // misestimate must not flip a 100 TB parent key set onto executors.
+    // AQE skew-join (enabled in prod sessions) splits hot partitions of
+    // exactly this shape at runtime; SkewBench measures it on a key
+    // holding ~10% of all child rows.
+    import org.apache.spark.sql.functions._
+    val pages = graft.gen.Derive.webPages(spark, sfDir).filter(col("url").isNotNull)
+    val lineage = graft.gen.Derive.lineage(spark, sfDir)
+    val d = graft.dedup.Dedup.danglingRows(
+      pages.select("part", "doc_id", "url"), lineage, "url", broadcastParent = false)
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+      s"non-broadcast RI must never broadcast:\n$p")
+    // identical findings on both paths
+    val bc = graft.dedup.Dedup.danglingRows(
+      pages.select("part", "doc_id", "url"), lineage, "url", broadcastParent = true)
+    assert(d.collect().map(_.mkString("|")).sorted.toSeq ==
+      bc.collect().map(_.mkString("|")).sorted.toSeq)
+  }
+
+  test("bucketed validation pass: ALL url-keyed checks in one plan, ZERO exchanges") {
+    // the write-once-shuffle layout (Tables.writeBucketed = Iceberg
+    // bucket(N, url) twin): uniqueness groupBy + keeper re-attach join,
+    // lineage RI anti join, digest-invariant compare join — composed
+    // into the single url-violations plan ValidationRun.runBucketed
+    // executes — contain not one Exchange node of any kind: the url
+    // shuffle was paid once at table-write time.
+    import org.apache.spark.sql.functions._
+    import graft.checks.{DatasetChecks, Invariants}
+    import graft.io.Tables
+    val wh = java.nio.file.Files.createTempDirectory("graft-bktplan").toString
+    Seq("plan_pages_b", "plan_lineage_b", "plan_digests_b")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val gen = graft.gen.WebGen.pages(spark, 5000, parts = 8)
+    Tables.writeBucketed(gen, "plan_pages_b", s"$wh/pages", "url", 8)
+    val genValid = gen.filter(col("url").isNotNull && length(col("url")) > 0 &&
+      col("url").rlike(graft.constraints.Constraints.UrlPattern))
+    Tables.writeBucketed(
+      genValid.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url"),
+      "plan_lineage_b", s"$wh/lineage", "url", 8)
+    val pages = spark.table("plan_pages_b")
+    Tables.writeBucketed(
+      Invariants.canonicalDigests(pages).withColumn("run_id", lit("r0")),
+      "plan_digests_b", s"$wh/digests", "url", 8)
+
+    val valid = pages.filter(col("url").isNotNull && length(col("url")) > 0 &&
+      col("url").rlike(graft.constraints.Constraints.UrlPattern))
+    val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
+      (-col("doc_id")).as("negid"))
+    val urlChecks = DatasetChecks.urlChecksColocated(
+      valid, spark.table("plan_lineage_b"), ord)
+    val prev = spark.table("plan_digests_b")
+      .select(col("url"), col("digest").as("digest_prev")).hint("merge")
+    val dig = Invariants
+      .digestViolationsAgainst(Invariants.canonicalDigests(pages).hint("merge"), prev)
+      .select(col("part"), lit(null).cast("long").as("doc_id"), col("url"),
+        col("check_name"), col("detail"), col("stage"))
+    val pass = urlChecks.unionByName(dig)
+    val p = pass.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed validation pass must have ZERO exchanges end-to-end:\n$p")
+    assert(p.contains("SortMergeJoin"), s"joins must keep the sort-merge shape:\n$p")
+    // zero digest violations against an unmutated store; RI + uniqueness findings exist
+    assert(pass.filter(col("check_name") === "text_digest").count() == 0)
+    assert(pass.filter(col("check_name") === "url_lineage").count() > 0)
+    assert(pass.filter(col("check_name") === "url_unique").count() > 0)
+    Seq("plan_pages_b", "plan_lineage_b", "plan_digests_b")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("filters and projection reach the parquet scan (q1)") {
     val p = planOf("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)

@@ -72,6 +72,48 @@ class ResumeSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/digests").count() == urls)
   }
 
+  test("bucketed run: resume equals full run; url checks match the unbucketed reference") {
+    import graft.checks.DatasetChecks
+    val wh = tmp()
+    Seq("rs_pages_b", "rs_lineage_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // WebGen partitions by url-hash — the co-partitioning the bucketed
+    // resume contract requires (a url never spans batches)
+    val gen = graft.gen.WebGen.pages(spark, 20000, parts = 8)
+    Tables.writeBucketed(gen, "rs_pages_b", s"$wh/pages", "url", 8)
+    val genValid = gen.filter(col("url").isNotNull && length(col("url")) > 0 &&
+      col("url").rlike(Constraints.UrlPattern))
+    val lineageDf = genValid.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url")
+    Tables.writeBucketed(lineageDf, "rs_lineage_b", s"$wh/lineage", "url", 8)
+    val pb = spark.table("rs_pages_b")
+    val lb = spark.table("rs_lineage_b")
+
+    val full = tmp(); val split = tmp()
+    ValidationRun.runBucketed(spark, pb, lb, Constraints.webtextSuite, full, "r1")
+    ValidationRun.runBucketed(spark, pb.filter(col("part") < 4), lb,
+      Constraints.webtextSuite, split, "r1")
+    val rep2 = ValidationRun.runBucketed(spark, pb, lb, Constraints.webtextSuite, split, "r1")
+    assert(rep2.partsProcessed == Seq(4, 5, 6, 7))
+    assert(verdictSet(full) == verdictSet(split))
+    def urlViol(root: String): Set[String] =
+      spark.read.parquet(s"$root/url_violations")
+        .select("part", "doc_id", "url", "check_name").collect().map(_.mkString("|")).toSet
+    assert(urlViol(full) == urlViol(split))
+
+    // the co-located checks find exactly what the unbucketed operators find
+    val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
+      (-col("doc_id")).as("negid"))
+    val ref = DatasetChecks.uniquenessViolations(genValid, ord)
+      .unionByName(DatasetChecks.riViolations(
+        genValid.select("part", "doc_id", "url"), lineageDf, broadcastParent = true))
+      .select("part", "doc_id", "url", "check_name")
+      .collect().map(_.mkString("|")).toSet
+    assert(urlViol(full) == ref)
+    // digest store is bucketed, bounded, and clean on an unmutated re-read
+    assert(spark.read.parquet(s"$full/digests_bkt").groupBy("url").count()
+      .filter(col("count") > 1).count() == 0)
+    Seq("rs_pages_b", "rs_lineage_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("re-running a completed root is a no-op") {
     val root = tmp()
     ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r1")
