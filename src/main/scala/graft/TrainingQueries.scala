@@ -49,6 +49,9 @@ object TrainingQueries {
     "emb_neardup" -> ((s, dir) =>
       Ann.lshNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", dim = 64, threshold = 0.35)),
+    "emb_neardup_multi" -> ((s, dir) =>
+      Ann.lshNearDupPairsMulti(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, threshold = 0.35)),
     "emb_lsh_buckets" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       e.select(col("vec_id"),
@@ -131,6 +134,25 @@ object TrainingQueries {
       |  FROM e, planes),
       |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Multi-table twin of [[bucketsCte]]: 3 independent plane sets (global
+    * plane ids 0–23, table t = j/8, per-table bit j%8) — must mirror
+    * Ann.lshNearDupPairsMulti's plane-offset bucket construction.
+    */
+  private val bucketsMultiCte: String = {
+    val planeVals = (0 until 24).map(j => s"($j)").mkString(",")
+    s"""mplanes AS (SELECT * FROM (VALUES $planeVals) p(j)),
+       |mdots AS (SELECT vec_id, j,
+       |  round(list_sum(list_transform(generate_series(1, 64),
+       |    d -> v[d] * (CAST((j * 2654435761 + d * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))), 9) AS dot
+       |  FROM e, mplanes),
+       |tbuckets AS (SELECT vec_id, j // 8 AS t,
+       |  CAST(sum(CASE WHEN dot > 0 THEN (1 << (j % 8)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM mdots GROUP BY vec_id, j // 8),
+       |mkeys AS (SELECT vec_id, t * 8 + p.j AS probe,
+       |    bucket & ~(CAST(1 AS BIGINT) << p.j) AS key
+       |  FROM tbuckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j))""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "t_tokens" ->
@@ -223,6 +245,15 @@ object TrainingQueries {
          |  FROM buckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j)),
          |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
          |  FROM keys a JOIN keys b ON a.j = b.j AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT * FROM (
+         |  SELECT id_1, id_2, round(list_cosine_similarity(e1.v, e2.v), 6) AS cos
+         |  FROM cand JOIN e e1 ON e1.vec_id = id_1 JOIN e e2 ON e2.vec_id = id_2
+         |) t WHERE cos >= 0.35""".stripMargin,
+    "emb_neardup_multi" ->
+      s"""WITH $embCte,
+         |$bucketsMultiCte,
+         |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM mkeys a JOIN mkeys b ON a.probe = b.probe AND a.key = b.key AND a.vec_id < b.vec_id)
          |SELECT * FROM (
          |  SELECT id_1, id_2, round(list_cosine_similarity(e1.v, e2.v), 6) AS cos
          |  FROM cand JOIN e e1 ON e1.vec_id = id_1 JOIN e e2 ON e2.vec_id = id_2

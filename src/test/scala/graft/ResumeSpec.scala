@@ -137,6 +137,31 @@ class ResumeSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed append enforces the header contract and keeps the layout") {
+    val wh = tmp()
+    spark.sql("DROP TABLE IF EXISTS ab_t")
+    Tables.appendBucketed(spark, Seq((1, "u1")).toDF("id", "url"), "ab_t", s"$wh/t", "url", 4)
+    // reversed column order, same names/types → aligned and appended
+    Tables.appendBucketed(spark, Seq(("u2", 2)).toDF("url", "id"), "ab_t", s"$wh/t", "url", 4)
+    assert(spark.table("ab_t").count() == 2)
+    intercept[IllegalArgumentException] {
+      Tables.appendBucketed(spark, Seq((3, "u3", 1.0)).toDF("id", "url", "extra"),
+        "ab_t", s"$wh/t", "url", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Tables.appendBucketed(spark, Seq(Tuple1(4)).toDF("id"), "ab_t", s"$wh/t", "url", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Tables.appendBucketed(spark, Seq((5, 6)).toDF("id", "url"), "ab_t", s"$wh/t", "url", 4)
+    }
+    // appended files land in their buckets: a url self-join stays exchange-free
+    val t = spark.table("ab_t")
+    val p = t.hint("merge").join(t.hint("merge"), Seq("url"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"append must preserve the bucketed layout:\n$p")
+    spark.sql("DROP TABLE IF EXISTS ab_t")
+  }
+
   test("append aligns column order to the existing table") {
     val root = tmp() + "/t2"
     Tables.appendWithSchemaCheck(spark, Seq((1, "a")).toDF("id", "v"), root)

@@ -32,6 +32,16 @@ class WebGenSpec extends SparkSpecBase {
     assert(multiPart.count() == 0)
   }
 
+  test("~1% of rows duplicate another row's url (real dedup pressure)") {
+    // regression for the round-3 fix: dup rows previously hashed their
+    // domain from their own doc_id, so no url ever actually duplicated
+    val df = WebGen.pages(spark, 50000).filter(col("url").isNotNull)
+    val dupUrls = df.groupBy("url").count().filter(col("count") > 1).count()
+    val expected = 50000.0 / 101 // d % 101 == 13 redirects (minus url-override losses)
+    assert(dupUrls > expected * 0.7, s"got $dupUrls duplicated urls, expected ~$expected")
+    assert(dupUrls < expected * 1.3, s"got $dupUrls duplicated urls, expected ~$expected")
+  }
+
   test("violation fractions roughly match the injection moduli") {
     val n = 20000.0
     val df = WebGen.pages(spark, 20000).cache()
