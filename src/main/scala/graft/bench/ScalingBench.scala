@@ -67,14 +67,91 @@ object ScalingBench {
     }
   }
 
-  private def timeBest(reps: Int)(f: => Unit): Double =
-    (1 to reps).map { _ =>
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }.min
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
 
+  private val probeSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Pure-arithmetic throughput at `threads` workers (LCG loop, no
+    * allocation, no IO, no Spark): measures what 8→32 scaling THIS BOX
+    * can physically deliver in the current window — SMT sibling sharing
+    * plus whatever co-tenant load exists. Run next to each engine sample
+    * so engine efficiency can be read against the simultaneous hardware
+    * ceiling instead of an assumed-idle 1.0.
+    */
+  private def probeThr(threads: Int, itersPerTask: Long = 400_000_000L): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val tasks = threads * 2
+    val t0 = System.nanoTime()
+    val futs = (1 to tasks).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var x = System.nanoTime(); var i = 0L
+          while (i < itersPerTask) {
+            x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+          }
+          x
+        }
+      })
+    }
+    probeSink.addAndGet(futs.map(_.get()).sum) // defeat dead-code elimination
+    pool.shutdown()
+    tasks * itersPerTask / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** 1.6 GB shared read-only array for the bandwidth probe (far beyond
+    * LLC, so every pass streams from DRAM); initialized once.
+    */
+  private lazy val bwArr: Array[Long] = Array.tabulate(200_000_000)(_.toLong)
+
+  /** Memory-BANDWIDTH throughput at `threads` workers (each thread
+    * stream-sums the shared array twice): the ceiling that actually
+    * binds a parquet-decode suite. On this single box all N "executors"
+    * share one socket's DRAM controllers — 8 threads already extract
+    * most of the available bandwidth, so a 32-thread run cannot read 4×
+    * faster no matter how well the engine scales. On a real N-vs-4N
+    * cluster each executor brings its own memory controllers and this
+    * ceiling scales with N. Returns GB/s.
+    */
+  private def bwProbeThr(threads: Int): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val passes = 2
+    val t0 = System.nanoTime()
+    val futs = (1 to threads).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var s = 0L; var r = 0
+          while (r < passes) {
+            var i = 0
+            while (i < bwArr.length) { s += bwArr(i); i += 1 }
+            r += 1
+          }
+          s
+        }
+      })
+    }
+    probeSink.addAndGet(futs.map(_.get()).sum)
+    pool.shutdown()
+    threads.toDouble * passes * bwArr.length * 8 / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
+  /** Interleaved A/B sampling (measurement hygiene): each rep times ONE
+    * local[8] run then ONE local[32] run back-to-back, so slow host
+    * windows (co-tenancy) hit both levels equally and cancel in the
+    * per-rep efficiency; the headline is the MEDIAN with min–max
+    * dispersion, not a best-of from separate windows. One warm-up pair
+    * up front covers JIT + the JVM-global whole-stage-codegen cache;
+    * sessions are rebuilt per sample so no run inherits cached blocks.
+    */
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 2000000L
     val outMd = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
+    val reps = if (args.length > 2) args(2).toInt else 5
+    val cA = if (args.length > 3) args(3).toInt else 8   // N
+    val cB = if (args.length > 4) args(4).toInt else 32  // 4N
+    val ratio = cB.toDouble / cA
     val dataPath = s"/tmp/graft_bench_pages_$n"
 
     // generate once (not timed), partitioned by table partition column
@@ -84,46 +161,78 @@ object ScalingBench {
         .partitionBy("part").mode("overwrite").parquet(dataPath)
     }
 
-    val results = Seq(8, 32).map { cpus =>
+    def timedRun(cpus: Int): Double = {
       val s = session(cpus)
-      suiteJob(s, dataPath) // warm-up (JIT + codegen + file listing)
-      val secs = timeBest(3)(suiteJob(s, dataPath))
-      val verdicts = suiteJob(s, dataPath).map(_.mkString("|")).sorted
-      (cpus, secs, n / secs, verdicts)
+      val t0 = System.nanoTime(); suiteJob(s, dataPath)
+      (System.nanoTime() - t0) / 1e9
     }
-    val Seq((_, s8, thr8, v8), (_, s32, thr32, v32)) = results
-    val eff = thr32 / (4.0 * thr8)
-    val parity = v8.sameElements(v32)
+    // force the bandwidth-probe array init OUTSIDE any timed region
+    // (lazy 1.6 GB single-threaded tabulate would poison the first probe)
+    require(bwArr.length > 0)
+    probeThr(cA, itersPerTask = 10_000_000L) // JIT-warm both probe loops
+    bwProbeThr(cA)
+    // warm-up pair + verdict parity capture (untimed)
+    val vA = suiteJob(session(cA), dataPath).map(_.mkString("|")).sorted
+    val vB = suiteJob(session(cB), dataPath).map(_.mkString("|")).sorted
+    val parity = vA.sameElements(vB)
+
+    val samples = (1 to reps).map { i =>
+      val pA = probeThr(cA); val bA = bwProbeThr(cA); val tA = timedRun(cA)
+      val pB = probeThr(cB); val bB = bwProbeThr(cB); val tB = timedRun(cB)
+      val eff = (n / tB) / (ratio * n / tA)
+      val ceil = pB / (ratio * pA)
+      val bwCeil = bB / (ratio * bA)
+      println(f"[scaling $cA->$cB] rep $i: tN=$tA%.2f t4N=$tB%.2f eff=$eff%.3f " +
+        f"cpu_ceiling=$ceil%.3f bw_ceiling=$bwCeil%.3f (bwN=$bA%.0fGB/s bw4N=$bB%.0fGB/s)")
+      (tA, tB, ceil, bwCeil)
+    }
+    val tAs = samples.map(_._1); val tBs = samples.map(_._2)
+    val ceils = samples.map(_._3); val bwCeils = samples.map(_._4)
+    val effs = samples.map { case (a, b, _, _) => (n / b) / (ratio * (n / a)) }
+    val norms = (effs, ceils).zipped.map(_ / _)
+    val mA = median(tAs); val mB = median(tBs)
+    val thrA = n / mA; val thrB = n / mB
+    val eff = thrB / (ratio * thrA)
 
     val md =
-      s"""# BENCH — measured scaling evidence (north rule)
+      s"""
+         |## Round-3 re-measurement, local[$cA] -> local[$cB]: interleaved A/B sampling
          |
-         |Job: the FULL validation suite — ${Constraints.webtextSuite.size} row constraints →
-         |per-partition verdict grid, PLUS url-uniqueness dedup check, PLUS
-         |lineage referential-integrity anti join (sort-merge, unbroadcast),
-         |PLUS per-partition column stats (null rate, HLL++ distinct,
-         |min/max) — over $n synthetic web pages (WebGen seed=42, 64
-         |url-hash partitions), parquet input,
-         |best of 3 timed runs after warm-up. Same JVM, same input — only the
-         |parallelism level changes (the sandbox stand-in for N vs 4N
-         |executors per BASELINE.md). Driver heap: ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}
-         |(size it ≥ 32g for 32 threads — string-decode allocation makes an
-         |undersized heap GC-bound, which shows up as fake scaling loss).
+         |Same job as the headline (FULL suite: ${Constraints.webtextSuite.size} row constraints ->
+         |verdict grid + url-uniqueness + lineage RI sort-merge anti join +
+         |per-partition column stats) over $n WebGen pages, driver heap
+         |${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}. Hygiene per the round-2 review: $reps
+         |interleaved N<->4N sample pairs (each rep: arithmetic probe @$cA,
+         |timed run @$cA, probe @$cB, timed run @$cB; fresh session per run; one
+         |untimed warm-up pair first), so co-tenant host noise hits both
+         |levels of a pair about equally. Headline = median, dispersion =
+         |min-max over reps; the probe measures what this box can physically
+         |deliver for a $cA->$cB scale-up in the surrounding window.
          |
-         || parallelism | seconds | validated docs/sec |
-         ||---|---|---|
-         || local[8]  (N)  | ${f"$s8%.2f"} | ${f"$thr8%.0f"} |
-         || local[32] (4N) | ${f"$s32%.2f"} | ${f"$thr32%.0f"} |
+         || parallelism | median sec | min-max sec | median docs/sec |
+         ||---|---|---|---|
+         || local[$cA]  (N)  | ${f"$mA%.2f"} | ${f"${tAs.min}%.2f"}-${f"${tAs.max}%.2f"} | ${f"$thrA%.0f"} |
+         || local[$cB] (4N) | ${f"$mB%.2f"} | ${f"${tBs.min}%.2f"}-${f"${tBs.max}%.2f"} | ${f"$thrB%.0f"} |
          |
-         |- scaling efficiency thr@4N / (4 × thr@N) = **${f"$eff%.3f"}** (target ≥ 0.8)
+         |- scaling efficiency (median thr@4N) / (4 x median thr@N) = **${f"$eff%.3f"}** (target >= 0.8)
+         |- per-rep paired efficiencies: ${effs.map(e => f"$e%.3f").mkString(", ")}
+         |  (median **${f"${median(effs)}%.3f"}**, min ${f"${effs.min}%.3f"}, max ${f"${effs.max}%.3f"})
+         |- simultaneous CPU ceiling (pure-register LCG probe, no DRAM traffic):
+         |  ${ceils.map(c => f"$c%.3f").mkString(", ")} (median **${f"${median(ceils)}%.3f"}**)
+         |- simultaneous MEMORY-BANDWIDTH ceiling (1.6 GB stream-sum probe —
+         |  the ceiling that binds a parquet-decode suite on ONE socket):
+         |  ${bwCeils.map(c => f"$c%.3f").mkString(", ")} (median **${f"${median(bwCeils)}%.3f"}**)
+         |- CPU-ceiling-normalized engine efficiency per rep: ${norms.map(x => f"$x%.3f").mkString(", ")}
+         |  (median **${f"${median(norms)}%.3f"}**)
          |- verdict parity across parallelism levels: **${if (parity) "IDENTICAL" else "MISMATCH"}**
-         |  (${v8.length} verdict rows compared)
+         |  (${vA.length} verdict rows compared)
          |
          |Generated by `graft.bench.ScalingBench` on ${java.time.Instant.now()}.
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).getParent)
-    Files.writeString(Paths.get(outMd), md)
-    println(s"""{"thr8":$thr8,"thr32":$thr32,"efficiency":$eff,"parity":$parity}""")
+    Files.writeString(Paths.get(outMd), md,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    println(s"""{"cpusA":$cA,"cpusB":$cB,"thrN":$thrA,"thr4N":$thrB,"efficiency":$eff,"eff_median_paired":${median(effs)},"eff_min":${effs.min},"eff_max":${effs.max},"cpu_ceiling_median":${median(ceils)},"bw_ceiling_median":${median(bwCeils)},"normalized_median":${median(norms)},"parity":$parity,"reps":$reps}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }
