@@ -24,6 +24,14 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Hex(Fnv64(args.head)))
     registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
     registerFunction(spark, "simhash60", args => SimHash60(args.head))
+    registerFunction(spark, "minhash_hex", args =>
+      MinHashHex(args(0), GraftExtensions.literalInt(args(1), "minhash_hex")))
+  }
+
+  private[expr] def literalInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: k must be an integer literal, got $other")
   }
 }
 
@@ -51,5 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(tokens) - 60-bit SimHash of an array<string>"),
       (args: Seq[Expression]) => SimHash60(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_hex"),
+      info("minhash_hex",
+        "minhash_hex(shingles, k) - k MinHash signature elements (lex-min md5 hex) in one pass"),
+      (args: Seq[Expression]) =>
+        MinHashHex(args(0), GraftExtensions.literalInt(args(1), "minhash_hex"))))
   }
 }

@@ -119,15 +119,32 @@ object Sim {
     * signature element = lexicographic min over the shingle set — a valid
     * uniform minhash, chosen because its min is engine-portable (plain
     * string ordering of hex digests). Row-local; no shuffle.
+    *
+    * Computed by the one-pass [[graft.expr.MinHashHex]] codegen
+    * expression (thread-local digest, no interpreted `transform`
+    * lambdas, no k intermediate arrays); the original relational form
+    * is kept as the semantic oracle in TextSimSpec. Callers should
+    * materialize [[minhashArray]] ONCE in a projection and extract from
+    * it — extracting k times from a fresh expression would re-run the
+    * pass k times if the optimizer collapsed projections.
     */
-  def minhashSignature(shs: Column, k: Int = 8): Seq[Column] =
+  def minhashArray(shs: Column, k: Int = 8): Column =
+    graft.expr.MinHashHex.minhashHex(shs, k)
+
+  /** The reference relational form of [[minhashArray]] (k interpreted
+    * transform+md5+array_min pipelines) — TEST ORACLE for the codegen
+    * expression; not used by the suite.
+    */
+  def minhashSignatureRelational(shs: Column, k: Int = 8): Seq[Column] =
     (1 to k).map(i =>
       array_min(transform(shs, s => md5(concat(lit(s"$i:"), s)))).as(s"mh_$i"))
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 8): DataFrame =
     shingled(docs, idCol, textCol, n)
-      .select(col("id") +: minhashSignature(col("shs"), k): _*)
+      .select(col("id"), minhashArray(col("shs"), k).as("__mh"))
+      .select(col("id") +:
+        (1 to k).map(i => element_at(col("__mh"), i).as(s"mh_$i")): _*)
 
   /** LSH candidate pairs + exact-jaccard verification. Bands of `rows`
     * signature elements; band key = md5 of the concatenation. Pairs
@@ -139,7 +156,9 @@ object Sim {
                       threshold: Double = 0.2): DataFrame = {
     val nBands = k / rows
     val base = shingled(docs, idCol, textCol, n)
-      .select(col("id"), col("shs"), struct(minhashSignature(col("shs"), k): _*).as("sig"))
+      .select(col("id"), col("shs"), minhashArray(col("shs"), k).as("__mh"))
+      .select(col("id"), col("shs"), struct(
+        (1 to k).map(i => element_at(col("__mh"), i).as(s"mh_$i")): _*).as("sig"))
       .persist() // feeds banding + two shingle-set re-attach joins
     // band the ids only: the candidate join + distinct shuffles slim
     // (id, band, bkey) rows — shingle arrays are re-attached afterwards

@@ -62,6 +62,27 @@ class TextSimSpec extends SparkSpecBase {
     assert(lsh.contains((1L, 2L)), "high-jaccard pair must survive LSH banding")
   }
 
+  test("minhash codegen expression ≡ relational transform/md5/array_min on driver data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val sh = Sim.shingled(docs, "doc_id", "text", n = 3)
+    val viaExpr = sh.select(col("id"), Sim.minhashArray(col("shs"), 8).as("mh"))
+      .select(col("id") +: (1 to 8).map(i => element_at(col("mh"), i)): _*)
+      .collect().map(_.mkString("|")).sorted
+    val viaRelational = sh
+      .select(col("id") +: Sim.minhashSignatureRelational(col("shs"), 8): _*)
+      .collect().map(_.mkString("|")).sorted
+    assert(viaExpr.sameElements(viaRelational))
+    // null / empty edges: empty shingle set → null mins, like array_min
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("abc"))).toDF("id", "shs")
+    val got = edge.select(col("id"), Sim.minhashArray(col("shs"), 2).as("mh")).collect()
+    assert(got.find(_.getLong(0) == 1L).get.getSeq[String](1) == Seq(null, null))
+    assert(got.find(_.getLong(0) == 2L).get.getSeq[String](1).forall(_.length == 32))
+    // SQL surface
+    graft.expr.GraftExtensions.register(spark)
+    val sqlRow = spark.sql("SELECT minhash_hex(array('abc'), 2) AS mh").head().getSeq[String](0)
+    assert(sqlRow == got.find(_.getLong(0) == 2L).get.getSeq[String](1))
+  }
+
   test("simhash: identical docs collide, hamming 0; pairs found via byte bands") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi")).toDF("doc_id", "text")
