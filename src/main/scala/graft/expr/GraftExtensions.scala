@@ -26,6 +26,12 @@ object GraftExtensions {
     registerFunction(spark, "simhash60", args => SimHash60(args.head))
     registerFunction(spark, "minhash_hex", args =>
       MinHashHex(args(0), GraftExtensions.literalInt(args(1), "minhash_hex")))
+    registerFunction(spark, "lsh_buckets", args =>
+      LshBuckets(args(0),
+        GraftExtensions.literalInt(args(1), "lsh_buckets"),
+        GraftExtensions.literalInt(args(2), "lsh_buckets"),
+        GraftExtensions.literalInt(args(3), "lsh_buckets"),
+        if (args.length > 4) GraftExtensions.literalInt(args(4), "lsh_buckets") else 0))
   }
 
   private[expr] def literalInt(e: Expression, fn: String): Int = e match {
@@ -65,5 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_hex(shingles, k) - k MinHash signature elements (lex-min md5 hex) in one pass"),
       (args: Seq[Expression]) =>
         MinHashHex(args(0), GraftExtensions.literalInt(args(1), "minhash_hex"))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(vec, dim, nPlanes, nTables[, planeOffset]) - hyperplane LSH bucket ids, one per table"),
+      (args: Seq[Expression]) =>
+        LshBuckets(args(0),
+          GraftExtensions.literalInt(args(1), "lsh_buckets"),
+          GraftExtensions.literalInt(args(2), "lsh_buckets"),
+          GraftExtensions.literalInt(args(3), "lsh_buckets"),
+          if (args.length > 4) GraftExtensions.literalInt(args(4), "lsh_buckets") else 0)))
   }
 }

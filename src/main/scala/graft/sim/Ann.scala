@@ -93,8 +93,10 @@ object Ann {
                            dim: Int, threshold: Double, nPlanes: Int = 8,
                            nTables: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__buckets",
+        graft.expr.LshBuckets.lshBuckets(col("v"), dim, nPlanes, nTables))
       .withColumns(Map((0 until nTables).map(t =>
-        s"bucket_$t" -> lshBucket(col("v"), dim, nPlanes, planeOffset = t * nPlanes)): _*))
+        s"bucket_$t" -> element_at(col("__buckets"), t + 1)): _*))
     // slim probe keys; the bucketed index feeds key-gen + two re-attach
     // joins (at scale this is a materialized index table; persist is the
     // in-session equivalent — callers clear cache when done)
@@ -136,7 +138,18 @@ object Ann {
     * `planeOffset` selects an independent plane set (multi-table LSH:
     * table t passes t·nPlanes).
     */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, planeOffset: Int = 0): Column = {
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, planeOffset: Int = 0): Column =
+    element_at(graft.expr.LshBuckets.lshBuckets(vec, dim, nPlanes, 1, planeOffset), 1)
+
+  /** The original relational form of [[lshBucket]] (nPlanes interpreted
+    * transform/zip_with/aggregate pipelines per row — CodegenFallback) —
+    * TEST ORACLE for the [[graft.expr.LshBuckets]] codegen expression,
+    * which reproduces its doubles bit-for-bit (same d=1..dim
+    * accumulation order, same BigDecimal HALF_UP scale-9 sign test,
+    * same null/length-mismatch propagation).
+    */
+  def lshBucketRelational(vec: Column, dim: Int, nPlanes: Int = 8,
+                          planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
       val w = transform(sequence(lit(1), lit(dim)),
         d => hyperplaneWeight(lit(planeOffset + j), d))

@@ -28,6 +28,26 @@ class AnnRecallSpec extends SparkSpecBase {
     }
   }
 
+  test("lsh_buckets codegen expression ≡ relational HOF pipeline, all 3 tables") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val both = e.select(col("vec_id"),
+      graft.expr.LshBuckets.lshBuckets(col("v"), 64, 8, 3).as("fast"),
+      array((0 until 3).map(t =>
+        Ann.lshBucketRelational(col("v"), 64, 8, planeOffset = t * 8)): _*).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // length-mismatch and null-element rows zero every bucket, like the
+    // relational null propagation
+    val edge = Seq(
+      (1L, Seq(Option(1.0), Option(2.0))),
+      (2L, Seq(Option(1.0), Option.empty[Double]) ++ Seq.fill(62)(Option(0.5))))
+      .toDF("id", "v")
+    val z = edge.select(graft.expr.LshBuckets.lshBuckets(col("v"), 64, 8, 2).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    assert(z.forall(_ == Seq(0L, 0L)))
+  }
+
   test("multi-table LSH: candidates strictly widen; driver-data recall measured") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
