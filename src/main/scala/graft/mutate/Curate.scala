@@ -313,7 +313,7 @@ object Curate {
     // null-safe triple key: predicate_modifier is null on non-negated rows
     // and a plain equi-join would never match null=null, misrouting every
     // non-negated group to the singles channel
-    val modKey = coalesce(col("predicate_modifier"), lit(" ")).as("__mod")
+    val modKey = coalesce(col("predicate_modifier"), lit("\u0000")).as("__mod")
     val key = Seq("subject_id", "predicate_id", "object_id", "__mod")
     val manual = df.filter(col("justification") === ManualCuration)
       .withColumn("__mod", modKey)
