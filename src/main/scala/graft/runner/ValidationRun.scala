@@ -188,4 +188,13 @@ object ValidationRun {
   def currentVerdicts(spark: SparkSession, root: String): DataFrame =
     Tables.read(spark, verdictsPath(root))
       .dropDuplicates("run_id", "part", "check_name")
+
+  /** Read back the bucketed pass's url-check violations deduped by
+    * idempotence key (run_id, part, doc_id, check_name) — a crashed run
+    * re-appends the same keys on retry; readers collapse them, same
+    * contract as [[currentVerdicts]].
+    */
+  def currentUrlViolations(spark: SparkSession, root: String): DataFrame =
+    Tables.read(spark, s"$root/url_violations")
+      .dropDuplicates("run_id", "part", "doc_id", "check_name")
 }

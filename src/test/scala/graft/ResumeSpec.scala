@@ -111,6 +111,13 @@ class ResumeSpec extends SparkSpecBase {
     // digest store is bucketed, bounded, and clean on an unmutated re-read
     assert(spark.read.parquet(s"$full/digests_bkt").groupBy("url").count()
       .filter(col("count") > 1).count() == 0)
+
+    // crash-retry idempotence: a duplicate append of the same keyed rows
+    // collapses in the reader, same contract as currentVerdicts
+    val uv = spark.read.parquet(s"$full/url_violations")
+    val before = ValidationRun.currentUrlViolations(spark, full).count()
+    Tables.appendWithSchemaCheck(spark, uv.limit(25), s"$full/url_violations")
+    assert(ValidationRun.currentUrlViolations(spark, full).count() == before)
     Seq("rs_pages_b", "rs_lineage_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
