@@ -81,6 +81,13 @@ class TextSimSpec extends SparkSpecBase {
     graft.expr.GraftExtensions.register(spark)
     val sqlRow = spark.sql("SELECT minhash_hex(array('abc'), 2) AS mh").head().getSeq[String](0)
     assert(sqlRow == got.find(_.getLong(0) == 2L).get.getSeq[String](1))
+    // golden vectors (python hashlib): guards the digest provider and the
+    // "i:" prefix/min semantics against silent drift
+    assert(sqlRow == Seq(
+      "3560f4d3cdb576e61d20f9fa14062b0a", "25ef2ef7c56e231f9156333930572420"))
+    val g2 = spark.sql("SELECT minhash_hex(array('a b c', 'b c d'), 2)").head().getSeq[String](0)
+    assert(g2 == Seq(
+      "2834477bb6f2d7ef93febd33e91d4e52", "7005f1162c260ede0ebccf4ca0180e69"))
   }
 
   test("simhash: identical docs collide, hamming 0; pairs found via byte bands") {
