@@ -26,6 +26,8 @@ object GraftExtensions {
     registerFunction(spark, "simhash60", args => SimHash60(args.head))
     registerFunction(spark, "minhash_hex", args =>
       MinHashHex(args(0), GraftExtensions.literalInt(args(1), "minhash_hex")))
+    registerFunction(spark, "word_shingles", args =>
+      WordShingles(args(0), GraftExtensions.literalInt(args(1), "word_shingles")))
     registerFunction(spark, "lsh_buckets", args =>
       LshBuckets(args(0),
         GraftExtensions.literalInt(args(1), "lsh_buckets"),
@@ -71,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_hex(shingles, k) - k MinHash signature elements (lex-min md5 hex) in one pass"),
       (args: Seq[Expression]) =>
         MinHashHex(args(0), GraftExtensions.literalInt(args(1), "minhash_hex"))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - distinct word n-gram shingles, one-pass tokenize+slice"),
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), GraftExtensions.literalInt(args(1), "word_shingles"))))
     ext.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",

@@ -48,11 +48,23 @@ object Sim {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesOfTokens(TextOps.tokens(text), n)
 
-  /** (id, shs) projection with the tokens materialized as an attribute in
-    * their own projection step — the multi-referenced alias blocks
-    * CollapseProject from inlining tokenization into the shingle lambdas.
+  /** (id, shs) projection via the one-pass [[graft.expr.WordShingles]]
+    * codegen expression (byte-scan tokenizer + slice-built shingles +
+    * first-occurrence dedup — value-identical to the relational
+    * tokenize→transform→array_distinct pipeline, which [[shingledRelational]]
+    * keeps as the semantic oracle in TextSimSpec).
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.expr.WordShingles.wordShingles(col(textCol), n).as("shs"))
+
+  /** Relational form of [[shingled]] (interpreted HOF lambdas; tokens
+    * materialized as an attribute in their own projection step — the
+    * multi-referenced alias blocks CollapseProject from inlining
+    * tokenization into the shingle lambdas) — TEST ORACLE only.
+    */
+  def shingledRelational(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
       .select(col("id"), shinglesOfTokens(col("__ws"), n).as("shs"))
 

@@ -62,6 +62,27 @@ class TextSimSpec extends SparkSpecBase {
     assert(lsh.contains((1L, 2L)), "high-jaccard pair must survive LSH banding")
   }
 
+  test("word_shingles codegen expression ≡ relational tokenize/transform/distinct") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+    def dump(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.select(col("id"), col("shs")).collect()
+        .map(r => r.getLong(0) + "|" + r.getSeq[String](1).mkString("~")).sorted
+    assert(dump(Sim.shingled(docs, "doc_id", "text"))
+      .sameElements(dump(Sim.shingledRelational(docs, "doc_id", "text"))))
+    // edges: case folding, unicode separators, punctuation, short text,
+    // repeated shingles (first-occurrence dedup order), digits
+    val edge = Seq(
+      "A b C d A b C d", "héllo wörld foo bar", "one two", "",
+      "x1 Y2 z3 w4", "a--b..c!!d", "ÉÀ ü ss 9 q"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(dump(Sim.shingled(edge, "doc_id", "text"))
+      .sameElements(dump(Sim.shingledRelational(edge, "doc_id", "text"))))
+    // SQL surface
+    graft.expr.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT word_shingles('A b c D', 3) s").head().getSeq[String](0)
+      == Seq("a b c", "b c d"))
+  }
+
   test("minhash codegen expression ≡ relational transform/md5/array_min on driver data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
     val sh = Sim.shingled(docs, "doc_id", "text", n = 3)
