@@ -1,0 +1,124 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.checks.DatasetChecks
+import graft.constraints.Constraints
+import graft.gen.WebGen
+import graft.io.Tables
+
+/** Does the write-once-shuffle bucketed layout actually WIN wall-clock,
+  * or only plan shape? Times the url-keyed dataset checks (uniqueness
+  * dedup + lineage RI — the every-run workload) over url-bucketed
+  * catalog tables vs plain parquet, plus the one-time write cost of
+  * each layout. Strategies are timed round-robin-interleaved (SkewBench
+  * discipline), medians over rounds, identical row counts required.
+  *
+  * Usage: runMain graft.bench.BucketBench [nRows] [outMd] [buckets]
+  */
+object BucketBench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 4000000L
+    val outMd = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
+    val buckets = if (args.length > 2) args(2).toInt else 32
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val plainPages = s"/tmp/graft_bucket_pages_$n"
+    val plainLineage = s"/tmp/graft_bucket_lineage_$n"
+    val wh = s"/tmp/graft_bucket_wh_$n"
+    val gen = WebGen.pages(spark, n, parts = 64)
+    val genValid = gen.filter(col("url").isNotNull && length(col("url")) > 0 &&
+      col("url").rlike(Constraints.UrlPattern))
+    val genLineage = genValid.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url")
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one-time layout costs (both start from the generator expressions)
+    var tWritePlain = 0.0; var tWriteBucketed = 0.0
+    if (!Files.exists(Paths.get(plainPages))) {
+      tWritePlain = timeIt {
+        gen.write.mode("overwrite").parquet(plainPages)
+        genLineage.write.mode("overwrite").parquet(plainLineage)
+      }
+    }
+    Seq("bb_pages", "bb_lineage").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    tWriteBucketed = timeIt {
+      Tables.writeBucketed(gen, "bb_pages", s"$wh/pages", "url", buckets, mode = "overwrite")
+      Tables.writeBucketed(genLineage, "bb_lineage", s"$wh/lineage", "url", buckets,
+        mode = "overwrite")
+    }
+
+    val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
+      (-col("doc_id")).as("negid"))
+    def validOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("url").isNotNull && length(col("url")) > 0 &&
+        col("url").rlike(Constraints.UrlPattern))
+
+    def plainJob(): Long = {
+      val pages = validOf(spark.read.parquet(plainPages))
+      val lineage = spark.read.parquet(plainLineage)
+      DatasetChecks.uniquenessViolations(pages, ord)
+        .unionByName(DatasetChecks.riViolations(
+          pages.select("part", "doc_id", "url"), lineage, broadcastParent = false))
+        .count()
+    }
+    def bucketJob(): Long = {
+      val pages = validOf(spark.table("bb_pages"))
+      DatasetChecks.urlChecksColocated(pages, spark.table("bb_lineage"), ord).count()
+    }
+
+    val rPlain = plainJob(); val rBucket = bucketJob() // warm-up + parity
+    require(rPlain == rBucket, s"results diverge: plain=$rPlain bucketed=$rBucket")
+
+    val rounds = (1 to 3).map { r =>
+      val tp = timeIt(plainJob()); val tb = timeIt(bucketJob())
+      println(f"[bucket] round $r: plain=$tp%.2f bucketed=$tb%.2f")
+      (tp, tb)
+    }
+    val mp = median(rounds.map(_._1)); val mb = median(rounds.map(_._2))
+
+    val md =
+      s"""
+         |## Bucketed-layout payoff (uniqueness + RI over $n pages, local[32])
+         |
+         |The same url-keyed dataset checks (arg-max uniqueness dedup + lineage
+         |RI anti join, $rPlain violation rows both ways), round-robin
+         |interleaved, median of 3 after warm-up:
+         |
+         || layout | checks pass (sec) | one-time write (sec) | plan |
+         ||---|---|---|---|
+         || plain parquet | ${f"$mp%.2f"} | ${f"$tWritePlain%.2f"} | shuffles pages on url per run |
+         || url-bucketed ($buckets buckets) | ${f"$mb%.2f"} | ${f"$tWriteBucketed%.2f"} | ZERO exchanges (PlanSpec) |
+         |
+         |The bucketed write pays the url shuffle once
+         |(${f"${tWriteBucketed - tWritePlain}%.2f"}s over the plain write here); every
+         |subsequent url-keyed pass saves ${f"${mp - mb}%.2f"}s (${f"${(mp - mb) / mp * 100}%.0f"}%%) —
+         |on the reference deployment this is an Iceberg bucket(N, url)
+         |partition transform amortized over every validation run, and the
+         |saved exchange is the fact-table shuffle that dominates at 100 TB.
+         |
+         |Generated by `graft.bench.BucketBench` on ${java.time.Instant.now()}.
+         |""".stripMargin
+    Files.write(Paths.get(outMd), md.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    println(s"""{"plain":$mp,"bucketed":$mb,"write_plain":$tWritePlain,"write_bucketed":$tWriteBucketed,"rows":$rPlain}""")
+    Seq("bb_pages", "bb_lineage").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}
