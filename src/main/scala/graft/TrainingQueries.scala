@@ -61,6 +61,15 @@ object TrainingQueries {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 5)
     }),
+    // IVF twin of the LSH path: cell assignment is a row-local unrolled
+    // argmax over the (driver-sized) centroid set; search probes the 2
+    // nearest cells per query via a broadcast join — corpus never shuffles
+    "emb_ivf_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", stride = 31)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cents, k = 5, nprobe = 2)
+    }),
 
     // ===== multimodal: metadata projection + REAL image decode =====
     "mm_features" -> ((s, dir) =>
@@ -71,7 +80,20 @@ object TrainingQueries {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeImageFeatures(s,
         Multimodal.withSyntheticPng(s,
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id")).toDF())
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")).toDF()),
+    // deterministic PCM encoded to WAV then DECODED via javax.sound
+    // (RIFF container + format parse are real); amplitude stats come
+    // from the decoded samples — integers, so the oracle is exact
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(s,
+        Multimodal.withSyntheticWav(s,
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")).toDF()),
+    // deterministic YUV420 encoded as a real YUV4MPEG2 stream, then
+    // byte-level container parse + every-2nd-frame sampling + luma sums
+    "mm_video" -> ((s, dir) =>
+      Multimodal.decodeVideoFeatures(s,
+        Multimodal.withSyntheticY4m(s,
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id"), step = 2).toDF())
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -262,6 +284,32 @@ object TrainingQueries {
       s"""WITH $embCte,
          |$bucketsCte
          |SELECT vec_id, bucket FROM buckets""".stripMargin,
+    // mirrors Ann.ivfCentroids(stride=31) / ivfCell / ivfProbeCells:
+    // rounded-cosine argmax with smaller-cid tiebreak on both sides
+    "emb_ivf_topk" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+         |    FROM e, cent c WHERE e.vec_id < 5) t WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id AS id,
+         |    round(list_cosine_similarity(q.v, x.v), 6) AS cos
+         |  FROM probes p JOIN asg a ON a.cell = p.cell
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e x ON x.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT * FROM (
+         |  SELECT query_id, id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank
+         |  FROM scored
+         |) t WHERE rank <= 5""".stripMargin,
     "emb_ann_topk" ->
       s"""WITH $embCte,
          |$bucketsCte,
@@ -301,6 +349,33 @@ object TrainingQueries {
         |       CAST(sum(r) AS BIGINT) AS sum_r,
         |       CAST(sum(g) AS BIGINT) AS sum_g,
         |       CAST(sum(b) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id, width, height""".stripMargin
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    // mirrors Multimodal.syntheticSample/syntheticSampleCount — the
+    // decoded PCM equals the generating arithmetic (WAV is lossless)
+    "mm_audio" ->
+      """WITH s AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |samp AS (SELECT doc_id, n,
+        |    (doc_id * 73 + i * 31 + (i * i % 997) * 7) % 65536 - 32768 AS amp
+        |  FROM s, generate_series(0, 126) g(i) WHERE i < n)
+        |SELECT doc_id, CAST(n AS INT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(sum(amp) AS BIGINT) AS sum_amp,
+        |       CAST(min(amp) AS INT) AS min_amp, CAST(max(amp) AS INT) AS max_amp
+        |FROM samp GROUP BY doc_id, n""".stripMargin,
+    // mirrors Multimodal.syntheticVideoDims/syntheticLuma with step=2
+    // frame sampling (f = 0, 2, 4, …)
+    "mm_video" ->
+      """WITH dims AS (SELECT doc_id, 16 + (doc_id % 5) * 2 AS w,
+        |    8 + (doc_id % 4) * 2 AS h, 6 + doc_id % 5 AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, f
+        |  FROM dims, generate_series(0, 9) g(f) WHERE f < nf AND f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, nf, f,
+        |    (doc_id * 19 + f * 83 + xs.x * 3 + ys.y * 11) % 256 AS yv
+        |  FROM fr, generate_series(0, 23) xs(x), generate_series(0, 13) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(nf AS INT) AS n_frames,
+        |       CAST(count(DISTINCT f) AS INT) AS n_sampled,
+        |       CAST(sum(yv) AS BIGINT) AS sum_y
+        |FROM px GROUP BY doc_id, w, h, nf""".stripMargin
   )
 }

@@ -129,4 +129,218 @@ object Multimodal {
       col(idCol),
       length(col(binCol)).cast("long").as("n_bytes"),
       substring(decode(col(binCol), "UTF-8"), 1, 12).as("head"))
+
+  // ---------- audio: WAV (RIFF/PCM) via javax.sound.sampled ----------
+
+  final case class WavDoc(doc_id: Long, wav: Array[Byte])
+
+  /** Decoded-audio features — all integers, so the oracle is exact. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Int,
+      sample_rate: Int,
+      sum_amp: Long,
+      min_amp: Int,
+      max_amp: Int)
+
+  /** Deterministic 16-bit PCM pattern (mirrored by the DuckDB oracle in
+    * TrainingQueries — keep in lockstep):
+    *   n(d)      = 64 + d % 64 samples, mono, 8000 Hz
+    *   amp(d, i) = ((d*73 + i*31 + (i*i % 997) * 7) % 65536) - 32768
+    */
+  def syntheticSampleCount(d: Long): Int = (64 + d % 64).toInt
+
+  def syntheticSample(d: Long, i: Int): Int = {
+    val il = i.toLong
+    ((d * 73 + il * 31 + (il * il % 997) * 7) % 65536 - 32768).toInt
+  }
+
+  /** WAV-encode the deterministic PCM pattern for one doc id through the
+    * real `javax.sound.sampled` WAVE writer (RIFF container, LE PCM).
+    */
+  def syntheticWav(d: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = syntheticSampleCount(d)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = syntheticSample(d, i)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit signed LE mono
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def withSyntheticWav(spark: SparkSession, df: DataFrame,
+                       idCol: String): Dataset[WavDoc] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(d => WavDoc(d, syntheticWav(d))))
+  }
+
+  /** REAL audio decode over a binary WAV column: `AudioSystem` parses the
+    * RIFF container and exposes the PCM format; amplitude stats come from
+    * the decoded samples. Same partition-batched shape and poison-blob
+    * discipline as [[decodeImageFeatures]].
+    */
+  def decodeAudioFeatures(spark: SparkSession, docs: Dataset[WavDoc]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+    docs.mapPartitions { it =>
+      it.flatMap { doc =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(doc.wav))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          ais.close()
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+          else {
+            val n = bytes.length / 2
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xff)).toShort.toInt
+              sum += s
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              i += 1
+            }
+            Some(AudioFeatures(doc.doc_id, n, fmt.getSampleRate.toInt, sum, mn, mx))
+          }
+        } catch {
+          case _: UnsupportedAudioFileException | _: java.io.IOException => None
+        }
+      }
+    }
+  }
+
+  // ---------- video: YUV4MPEG2 (uncompressed), hand-parsed ----------
+
+  final case class Y4mDoc(doc_id: Long, y4m: Array[Byte])
+
+  /** Frame-sampled video features: container dims + frame count, the
+    * number of sampled frames, and the exact luma sum over sampled
+    * frames.
+    */
+  final case class VideoFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_sampled: Int,
+      sum_y: Long)
+
+  /** Deterministic YUV420 pattern (DuckDB-mirrored):
+    *   width  = 16 + (d%5)*2, height = 8 + (d%4)*2, frames = 6 + d%5
+    *   Y(d,f,x,y) = (d*19 + f*83 + x*3 + y*11) % 256
+    * (chroma planes are filled but not feature-extracted).
+    */
+  def syntheticVideoDims(d: Long): (Int, Int, Int) =
+    ((16 + (d % 5) * 2).toInt, (8 + (d % 4) * 2).toInt, (6 + d % 5).toInt)
+
+  def syntheticLuma(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 19 + f * 83 + x * 3 + y * 11) % 256).toInt
+
+  /** Encode the deterministic pattern as a real YUV4MPEG2 stream — the
+    * standard uncompressed interchange container (`YUV4MPEG2 W.. H.. F..`
+    * header, then `FRAME` + planar 4:2:0 payload per frame). Raw video
+    * is the honest sandbox stand-in for codec output: compressed-codec
+    * decode (H.264 etc.) has no pure-JDK decoder, but the container
+    * plumbing — header parse, frame stride, plane slicing, sampling — is
+    * identical and is what the engine owns.
+    */
+  def syntheticY4m(d: Long): Array[Byte] = {
+    val (w, h, nf) = syntheticVideoDims(d)
+    val bos = new ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val cw = w / 2; val ch = h / 2
+    var f = 0
+    while (f < nf) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bos.write(syntheticLuma(d, f, x, y)); x += 1 }
+        y += 1
+      }
+      var p = 0 // U then V plane, quarter resolution
+      while (p < 2) {
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            bos.write(((d * (7 + p * 4) + f * 5 + cx * 13 + cy * 17) % 256).toInt)
+            cx += 1
+          }
+          cy += 1
+        }
+        p += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  def withSyntheticY4m(spark: SparkSession, df: DataFrame,
+                       idCol: String): Dataset[Y4mDoc] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(d => Y4mDoc(d, syntheticY4m(d))))
+  }
+
+  /** Parse a YUV4MPEG2 stream and sample every `step`-th frame (f = 0,
+    * step, 2·step, …), summing the luma plane of sampled frames. Real
+    * byte-level container parsing: stream header tokens, per-frame
+    * `FRAME` markers (with optional parameters), planar 4:2:0 strides.
+    * Malformed payloads are skipped (poison-blob discipline).
+    */
+  def decodeVideoFeatures(spark: SparkSession, docs: Dataset[Y4mDoc],
+                          step: Int = 2): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.flatMap { doc =>
+        val b = doc.y4m
+        val hEnd = b.indexOf('\n'.toByte)
+        if (hEnd < 0) None
+        else {
+          val header = new String(b, 0, hEnd, "US-ASCII")
+          val toks = header.split(' ')
+          if (toks.head != "YUV4MPEG2") None
+          else {
+            val w = toks.collectFirst { case t if t.startsWith("W") => t.tail.toInt }
+            val h = toks.collectFirst { case t if t.startsWith("H") => t.tail.toInt }
+            (w, h) match {
+              case (Some(w), Some(h)) if w > 0 && h > 0 =>
+                val frameBytes = w * h + 2 * ((w / 2) * (h / 2))
+                var pos = hEnd + 1
+                var f = 0; var sampled = 0; var sumY = 0L; var bad = false
+                while (!bad && pos < b.length) {
+                  // FRAME marker line (may carry parameters up to '\n')
+                  val mEnd = b.indexOf('\n'.toByte, pos)
+                  if (mEnd < 0 || !new String(b, pos, mEnd - pos, "US-ASCII").startsWith("FRAME") ||
+                      mEnd + 1 + frameBytes > b.length) bad = true
+                  else {
+                    if (f % step == 0) {
+                      sampled += 1
+                      var i = mEnd + 1
+                      val yEnd = mEnd + 1 + w * h
+                      while (i < yEnd) { sumY += b(i) & 0xff; i += 1 }
+                    }
+                    pos = mEnd + 1 + frameBytes
+                    f += 1
+                  }
+                }
+                if (bad) None else Some(VideoFeatures(doc.doc_id, w, h, f, sampled, sumY))
+              case _ => None
+            }
+          }
+        }
+      }
+    }
+  }
 }

@@ -159,6 +159,79 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  // ---------- IVF: the coarse-quantizer cell scale path ----------
+
+  /** Driver-sized centroid set for IVF, taken deterministically from the
+    * corpus (`id % stride == 0`). The IVF contract is C ≪ n — centroids
+    * are a driver/broadcast-sized object by construction (at production
+    * scale they come from a sampled k-means; the engine only needs the
+    * final centroid list, however trained). Returned sorted by id so the
+    * unrolled expression tree below is deterministic.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   stride: Long): Seq[(Long, Array[Double])] =
+    corpus.filter(col(idCol) % stride === 0)
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Scored (cos, cid) structs of `v` against every centroid — unrolled
+    * at plan-build time into C native [[cosine]] expressions, so cell
+    * assignment is pure row-local codegen: zero shuffle, zero join.
+    * Cosine is rounded to 6 before any comparison (same discipline as
+    * the LSH sign test) so a ±1-ulp summation difference can't flip an
+    * argmax, and ties break toward the smaller centroid id.
+    */
+  private def centroidScored(v: Column, centroids: Seq[(Long, Array[Double])]): Seq[Column] =
+    centroids.map { case (cid, cv) =>
+      struct(round(cosine(v, typedLit(cv)), 6).as("cos"), lit(-cid).as("neg_cid"))
+    }
+
+  /** IVF cell of a vector: argmax-cosine centroid id (row-local). */
+  def ivfCell(v: Column, centroids: Seq[(Long, Array[Double])]): Column =
+    (greatest(centroidScored(v, centroids): _*).getField("neg_cid") * -1).as("cell")
+
+  /** The `nprobe` nearest centroid ids of a query vector, best first —
+    * row-local: build the C scored structs, array_sort by (cos desc,
+    * cid asc), take the head. Multi-probe is what recovers recall lost
+    * at cell boundaries (the standard IVF trade: candidates scale with
+    * nprobe/C, recall approaches exhaustive as nprobe → C).
+    */
+  def ivfProbeCells(v: Column, centroids: Seq[(Long, Array[Double])],
+                    nprobe: Int): Column = {
+    val scored = centroids.map { case (cid, cv) =>
+      struct((round(cosine(v, typedLit(cv)), 6) * -1).as("neg_cos"), lit(cid).as("cid"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** IVF top-k: assign the corpus to cells once (row-local argmax), probe
+    * each query's `nprobe` nearest cells, brute-force only within probed
+    * cells. The probe side is broadcast (queries × nprobe slim rows); the
+    * corpus never shuffles — the join is a broadcast hash join on cell,
+    * and each corpus row joins at most the queries probing its cell. A
+    * corpus vector lives in exactly ONE cell, so no candidate dedup is
+    * needed even with nprobe > 1.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              centroids: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(centroids.size >= 2, "IVF needs at least 2 centroids")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", ivfCell(col("cv"), centroids))
+    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(ivfProbeCells(col("qv"), centroids, nprobe)))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN via LSH buckets: score only candidates in the query's bucket.
     * Returns top-k per query among same-bucket candidates.
     */

@@ -97,6 +97,47 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(recall >= 0.9, f"recall floor broken: $recall%.3f < 0.9")
   }
 
+  test("IVF: cell = argmax-cosine centroid; full probe ≡ brute force; nprobe=2 recall measured") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", stride = 7)
+    assert(cents.size >= 2 && cents.map(_._1) == cents.map(_._1).sorted)
+
+    // 1. cell assignment is the true rounded-cosine argmax (relational twin)
+    val c = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val assigned = c.select(col("vec_id"), Ann.ivfCell(col("v"), cents).as("cell"))
+    val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    val best = c.crossJoin(centDf)
+      .select(col("vec_id"), col("cid"),
+        round(Ann.cosine(col("v"), col("cv")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(cid, struct(-cos, cid))").as("want"))
+    assert(assigned.join(best, "vec_id").filter(col("cell") =!= col("want")).count() == 0)
+
+    // 2. probing EVERY cell makes IVF exhaustive: identical to brute force
+    val q = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.select("query_id", "id", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val full = rows(Ann.ivfTopK(e, q, "vec_id", "embedding", cents, k = 5,
+      nprobe = cents.size))
+    val brute = rows(Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    assert(full === brute, "nprobe = C must degrade IVF to exact search")
+
+    // 3. nprobe=2: hits are true cosines (subset of brute-force scoring)
+    val probed = Ann.ivfTopK(e, q, "vec_id", "embedding", cents, k = 5, nprobe = 2)
+    val bruteAll = rows(Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 20))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val hits = rows(probed)
+    hits.foreach { case (qid, id, cos, _) =>
+      assert(bruteAll.get((qid, id)).forall(_ == cos), s"cos mismatch for ($qid,$id)")
+    }
+    val recall = rows(probed).map(t => (t._1, t._2))
+      .intersect(brute.map(t => (t._1, t._2))).size.toDouble / brute.size
+    info(f"IVF nprobe=2/${cents.size} recall@5 on driver data: $recall%.3f")
+    assert(recall >= 0.2, f"IVF recall collapsed: $recall%.3f")
+  }
+
   test("planted near-identical vectors always collide (bucket-stable)") {
     val dim = 64
     val base = Array.tabulate(dim)(i => math.sin(i * 1.7).toFloat)

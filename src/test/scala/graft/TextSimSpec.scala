@@ -189,4 +189,45 @@ class TextSimSpec extends SparkSpecBase {
       assert((f.width, f.height, f.sum_r, f.sum_g, f.sum_b) === ((w, h, sr, sg, sb)), s"doc $d")
     }
   }
+
+  test("audio decode: synthetic WAVs round-trip sample-exact through javax.sound; poison skipped") {
+    val ids = Seq(0L, 5L, 123L, 4096L)
+    val ds = spark.createDataset(
+      ids.map(d => Multimodal.WavDoc(d, Multimodal.syntheticWav(d))) :+
+        Multimodal.WavDoc(999L, "RIFFnot really a wave file".getBytes))
+    val got = Multimodal.decodeAudioFeatures(spark, ds)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(!got.contains(999L), "undecodable payload must be skipped, not fatal")
+    for (d <- ids) {
+      val n = Multimodal.syntheticSampleCount(d)
+      val samples = (0 until n).map(i => Multimodal.syntheticSample(d, i))
+      val f = got(d)
+      assert((f.n_samples, f.sample_rate) === ((n, 8000)), s"doc $d")
+      assert((f.sum_amp, f.min_amp, f.max_amp) ===
+        ((samples.map(_.toLong).sum, samples.min, samples.max)), s"doc $d")
+    }
+  }
+
+  test("video decode: y4m container parse + every-2nd-frame luma sums; truncated stream skipped") {
+    val ids = Seq(0L, 3L, 17L, 1024L)
+    val truncated = Multimodal.syntheticY4m(7L).dropRight(5) // cuts the last frame short
+    val ds = spark.createDataset(
+      ids.map(d => Multimodal.Y4mDoc(d, Multimodal.syntheticY4m(d))) :+
+        Multimodal.Y4mDoc(998L, truncated) :+
+        Multimodal.Y4mDoc(999L, "MPEG-not-a-y4m\nFRAME\n".getBytes))
+    val got = Multimodal.decodeVideoFeatures(spark, ds, step = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(!got.contains(998L) && !got.contains(999L),
+      "malformed payloads must be skipped, not fatal")
+    for (d <- ids) {
+      val (w, h, nf) = Multimodal.syntheticVideoDims(d)
+      val sampled = (0 until nf).filter(_ % 2 == 0)
+      var sumY = 0L
+      for (f <- sampled; y <- 0 until h; x <- 0 until w)
+        sumY += Multimodal.syntheticLuma(d, f, x, y)
+      val got_ = got(d)
+      assert((got_.width, got_.height, got_.n_frames, got_.n_sampled, got_.sum_y) ===
+        ((w, h, nf, sampled.size, sumY)), s"doc $d")
+    }
+  }
 }
