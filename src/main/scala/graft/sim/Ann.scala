@@ -176,30 +176,40 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
 
-  /** Scored (cos, cid) structs of `v` against every centroid — unrolled
-    * at plan-build time into C native [[cosine]] expressions, so cell
-    * assignment is pure row-local codegen: zero shuffle, zero join.
-    * Cosine is rounded to 6 before any comparison (same discipline as
-    * the LSH sign test) so a ±1-ulp summation difference can't flip an
-    * argmax, and ties break toward the smaller centroid id.
+  /** IVF cell of a vector: argmax-cosine centroid id (row-local), via
+    * the one-pass [[graft.expr.IvfCells]] codegen expression. Cosine is
+    * rounded to 6 before any comparison (same discipline as the LSH sign
+    * test) so a ±1-ulp summation difference can't flip an argmax, and
+    * ties break toward the smaller centroid id.
     */
-  private def centroidScored(v: Column, centroids: Seq[(Long, Array[Double])]): Seq[Column] =
-    centroids.map { case (cid, cv) =>
-      struct(round(cosine(v, typedLit(cv)), 6).as("cos"), lit(-cid).as("neg_cid"))
-    }
-
-  /** IVF cell of a vector: argmax-cosine centroid id (row-local). */
   def ivfCell(v: Column, centroids: Seq[(Long, Array[Double])]): Column =
-    (greatest(centroidScored(v, centroids): _*).getField("neg_cid") * -1).as("cell")
+    get(graft.expr.IvfCells.ivfCells(v, centroids, 1), lit(0)).as("cell")
 
-  /** The `nprobe` nearest centroid ids of a query vector, best first —
-    * row-local: build the C scored structs, array_sort by (cos desc,
-    * cid asc), take the head. Multi-probe is what recovers recall lost
-    * at cell boundaries (the standard IVF trade: candidates scale with
-    * nprobe/C, recall approaches exhaustive as nprobe → C).
+  /** The `nprobe` nearest centroid ids of a query vector, best first
+    * (row-local one-pass expression). Multi-probe is what recovers
+    * recall lost at cell boundaries (the standard IVF trade: candidates
+    * scale with nprobe/C, recall approaches exhaustive as nprobe → C).
     */
   def ivfProbeCells(v: Column, centroids: Seq[(Long, Array[Double])],
-                    nprobe: Int): Column = {
+                    nprobe: Int): Column =
+    graft.expr.IvfCells.ivfCells(v, centroids, nprobe)
+
+  /** Unrolled-expression-tree form of [[ivfCell]] (C separate native
+    * cosine subtrees through `greatest` — recomputes |v| per centroid
+    * and its generated code grows with C) — TEST ORACLE for the
+    * [[graft.expr.IvfCells]] one-pass expression, which reproduces its
+    * cosines bit-for-bit.
+    */
+  def ivfCellRelational(v: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    val scored = centroids.map { case (cid, cv) =>
+      struct(round(cosine(v, typedLit(cv)), 6).as("cos"), lit(-cid).as("neg_cid"))
+    }
+    (greatest(scored: _*).getField("neg_cid") * -1).as("cell")
+  }
+
+  /** Relational twin of [[ivfProbeCells]] — TEST ORACLE. */
+  def ivfProbeCellsRelational(v: Column, centroids: Seq[(Long, Array[Double])],
+                              nprobe: Int): Column = {
     val scored = centroids.map { case (cid, cv) =>
       struct((round(cosine(v, typedLit(cv)), 6) * -1).as("neg_cos"), lit(cid).as("cid"))
     }

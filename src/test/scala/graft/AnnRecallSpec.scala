@@ -138,6 +138,31 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(recall >= 0.2, f"IVF recall collapsed: $recall%.3f")
   }
 
+  test("ivf_cells codegen expression ≡ relational greatest/array_sort twins") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", stride = 7)
+    val c = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val both = c.select(
+      Ann.ivfCell(col("v"), cents).as("fast_cell"),
+      Ann.ivfCellRelational(col("v"), cents).as("slow_cell"),
+      Ann.ivfProbeCells(col("v"), cents, 3).as("fast_probes"),
+      Ann.ivfProbeCellsRelational(col("v"), cents, 3).as("slow_probes"))
+    assert(both.filter(col("fast_cell") =!= col("slow_cell") ||
+      col("fast_probes") =!= col("slow_probes")).count() == 0)
+    // malformed vectors: length mismatch and null element → empty cell
+    // list (unassignable row), null scalar cell
+    val edge = Seq(
+      (1L, Seq(Option(1.0), Option(2.0))),
+      (2L, Seq(Option(1.0), Option.empty[Double]) ++ Seq.fill(62)(Option(0.5))))
+      .toDF("id", "v")
+    val z = edge.select(
+        Ann.ivfProbeCells(col("v"), cents, 2).as("p"),
+        Ann.ivfCell(col("v"), cents).as("c"))
+      .collect()
+    assert(z.forall(r => r.getSeq[Long](0).isEmpty && r.isNullAt(1)))
+  }
+
   test("planted near-identical vectors always collide (bucket-stable)") {
     val dim = 64
     val base = Array.tabulate(dim)(i => math.sin(i * 1.7).toFloat)
