@@ -49,16 +49,17 @@ object BucketBench {
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // one-time layout costs (both start from the generator expressions)
-    var tWritePlain = 0.0; var tWriteBucketed = 0.0
-    if (!Files.exists(Paths.get(plainPages))) {
-      tWritePlain = timeIt {
-        gen.write.mode("overwrite").parquet(plainPages)
-        genLineage.write.mode("overwrite").parquet(plainLineage)
-      }
+    // one-time layout costs (both start from the generator expressions).
+    // Always rewrite the plain fixture: a cached-fixture shortcut would
+    // publish write_plain=0.0 into the appended evidence (and a crash
+    // between the two writes would leave a half-written fixture behind a
+    // pages-only existence check).
+    val tWritePlain = timeIt {
+      gen.write.mode("overwrite").parquet(plainPages)
+      genLineage.write.mode("overwrite").parquet(plainLineage)
     }
     Seq("bb_pages", "bb_lineage").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    tWriteBucketed = timeIt {
+    val tWriteBucketed = timeIt {
       Tables.writeBucketed(gen, "bb_pages", s"$wh/pages", "url", buckets, mode = "overwrite")
       Tables.writeBucketed(genLineage, "bb_lineage", s"$wh/lineage", "url", buckets,
         mode = "overwrite")

@@ -23,11 +23,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * bit-identical to the relational twin before the shared BigDecimal
   * HALF_UP scale-6 rounding (Spark `round` semantics).
   *
-  * Ordering is (cos desc, cid asc) via `Double.compare` — NaN sorts
-  * greatest, matching Spark's double ordering in `greatest`/`array_sort`.
-  * A null element or length-mismatched vector yields an EMPTY cell list
-  * (the row is unassignable; `explode` then drops it, `get(_, 0)` yields
-  * null).
+  * Ordering is (cos desc, cid asc) with NaN ranking LAST: a NaN cosine
+  * (zero-norm vector or centroid) carries no similarity information, so
+  * it must not win a probe slot. This matches the negated-array_sort
+  * relational twin (`-NaN = NaN` sorts greatest ascending → last). The
+  * `greatest`-based relational CELL twin would instead let a NaN-cosine
+  * centroid win (Spark sorts NaN greatest) — finite-cosine corpora only
+  * for that oracle. A null element or length-mismatched vector yields an
+  * EMPTY cell list (the row is unassignable; `explode` then drops it,
+  * `get(_, 0)` yields null).
   */
 case class IvfCells(child: Expression, cids: Array[Long],
                     cents: Array[Array[Double]], nprobe: Int) extends UnaryExpression {
@@ -114,8 +118,13 @@ object IvfCells {
       j += 1
     }
     val idx = Array.range(0, nc).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(cos(a), cos(b))
-      if (c != 0) c > 0 else cids(a) < cids(b)
+      val na = java.lang.Double.isNaN(cos(a))
+      val nb = java.lang.Double.isNaN(cos(b))
+      if (na != nb) nb // NaN ranks last
+      else {
+        val c = java.lang.Double.compare(cos(a), cos(b))
+        if (c != 0) c > 0 else cids(a) < cids(b)
+      }
     }
     val k = math.min(nprobe, nc)
     val out = new Array[Any](k)

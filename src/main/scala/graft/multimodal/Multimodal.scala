@@ -80,7 +80,12 @@ object Multimodal {
                        idCol: String): Dataset[PngDoc] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(d => PngDoc(d, syntheticPng(d))))
+      .mapPartitions { it =>
+        // default ImageIO behavior routes every stream through a disk
+        // cache temp file — per-row filesystem traffic; keep it in memory
+        ImageIO.setUseCache(false)
+        it.map(d => PngDoc(d, syntheticPng(d)))
+      }
   }
 
   /** REAL image decode + feature extraction over a binary PNG/JPEG/BMP/
@@ -93,11 +98,16 @@ object Multimodal {
     import spark.implicits._
     docs.mapPartitions { it =>
       // per-partition scope: ImageIO caches codec lookups; a real model-
-      // based extractor would init here once
+      // based extractor would init here once. Disable the disk-backed
+      // stream cache (temp file create/delete per row otherwise).
+      ImageIO.setUseCache(false)
       it.flatMap { doc =>
+        // NonFatal, not just IOException: the imageio codecs throw
+        // unchecked exceptions (IllegalArgument, AIOOBE, CMMException)
+        // on truncated/hostile bytes — any of them is a poison blob
         val img =
           try ImageIO.read(new ByteArrayInputStream(doc.png))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val w = img.getWidth
@@ -190,7 +200,7 @@ object Multimodal {
     */
   def decodeAudioFeatures(spark: SparkSession, docs: Dataset[WavDoc]): Dataset[AudioFeatures] = {
     import spark.implicits._
-    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+    import javax.sound.sampled.AudioSystem
     docs.mapPartitions { it =>
       it.flatMap { doc =>
         try {
@@ -213,7 +223,9 @@ object Multimodal {
             Some(AudioFeatures(doc.doc_id, n, fmt.getSampleRate.toInt, sum, mn, mx))
           }
         } catch {
-          case _: UnsupportedAudioFileException | _: java.io.IOException => None
+          // NonFatal: the RIFF parser can throw unchecked exceptions on
+          // hostile headers, not only UnsupportedAudioFile/IOException
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }
@@ -302,9 +314,19 @@ object Multimodal {
   def decodeVideoFeatures(spark: SparkSession, docs: Dataset[Y4mDoc],
                           step: Int = 2): Dataset[VideoFeatures] = {
     import spark.implicits._
+    require(step >= 1, s"frame-sampling step must be >= 1, got $step")
     docs.mapPartitions { it =>
       it.flatMap { doc =>
-        val b = doc.y4m
+        try decodeOneY4m(doc, step)
+        // NonFatal: non-numeric W/H tokens etc. are poison blobs, not
+        // task killers
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  private def decodeOneY4m(doc: Y4mDoc, step: Int): Option[VideoFeatures] = {
+    val b = doc.y4m
         val hEnd = b.indexOf('\n'.toByte)
         if (hEnd < 0) None
         else {
@@ -340,7 +362,5 @@ object Multimodal {
             }
           }
         }
-      }
-    }
   }
 }

@@ -84,8 +84,12 @@ object Curate {
     */
   def curate(df: DataFrame, mark: Column, author: Column,
              confidence: Column, date: Column): (DataFrame, DataFrame) = {
-    val blockedCond = col("justification") === ManualCuration ||
-      !mark.isin(ValidMarks: _*)
+    // coalesce both terms: a NULL mark or NULL justification makes the
+    // predicate three-valued-NULL, which would drop the row from BOTH
+    // filter channels. A null mark is not one of the 7 literals → error
+    // channel; a null justification is not manual curation → eligible.
+    val blockedCond = coalesce(col("justification") === ManualCuration, lit(false)) ||
+      !coalesce(mark.isin(ValidMarks: _*), lit(false))
     val isUnsure = mark === "unsure"
     val isStamp = !isUnsure // correct / incorrect / scope marks
     val wasUnsure = col("reviewer_agreement") === 0.0

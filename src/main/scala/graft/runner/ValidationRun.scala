@@ -176,11 +176,17 @@ object ValidationRun {
     Report(runId, snap, parts, rows)
   }
 
-  /** Catalog name for a root's bucketed digest store (String.hashCode is
-    * JVM-spec'd, so the name is deterministic per root).
+  /** Catalog name for a root's bucketed digest store. MD5 of the root,
+    * not String.hashCode: 32 bits collide easily enough that two roots in
+    * one session could share a store — the second run would then compare
+    * its batch against the FIRST root's digests and append there,
+    * emitting false digest violations. 128 bits removes the class.
     */
-  def digestTableName(root: String): String =
-    s"graft_digests_${Integer.toHexString(root.hashCode)}"
+  def digestTableName(root: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_digests_$hex"
+  }
 
   /** Read back the verdicts table deduped by idempotence key — what a
     * consumer sees after any number of crashed/retried appends.

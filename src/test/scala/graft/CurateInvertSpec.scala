@@ -136,6 +136,23 @@ class CurateInvertSpec extends SparkSpecBase {
     assert(blocked.forall(_.getAs[String]("justification") === lex)) // unchanged
   }
 
+  test("curate: NULL mark and NULL justification don't vanish in three-valued logic") {
+    // NULL mark: not one of the 7 literals → error channel (not dropped
+    // from both channels, which is what a raw `!isin` NULL would do)
+    val df = mappingsDf(Seq(base(1, "skos:exactMatch"), base(2, "skos:exactMatch")))
+    val (pass, blocked) = Curate.curate(df,
+      when(col("mapping_id") === 1, lit(null).cast("string")).otherwise(lit("correct")),
+      lit("orcid:charlie"), lit(null).cast("double"), lit("2026-08-16"))
+    assert(pass.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(blocked.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // NULL justification: not manual curation → row stays eligible
+    val dfNullJust = mappingsDf(Seq(base(3, "skos:exactMatch")))
+      .withColumn("justification", lit(null).cast("string"))
+    val (pass2, blocked2) = Curate.curate(dfNullJust, lit("correct"),
+      lit("orcid:charlie"), lit(null).cast("double"), lit("2026-08-16"))
+    assert(pass2.count() === 1 && blocked2.count() === 0)
+  }
+
   test("curate zeroes similarity_measure when the layout has one (process.py:231-233)") {
     val df = mappingsDf(Seq(base(1, "skos:exactMatch")))
       .withColumn("similarity_measure", lit("levenshtein"))
