@@ -68,6 +68,23 @@ object StreamingValidation {
       .groupBy(col("part"), col("check_name"))
       .agg(count(lit(1)).as("violation_count"))
 
+  /** Streaming url dedup: keep the FIRST arrival per url within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * twin of the batch arg-max dedup. A stream cannot retro-replace a
+    * row it already emitted, so the streaming contract is first-wins
+    * ingest dedup; the batch pass downstream owns global latest-wins
+    * semantics. State holds one entry per url seen inside the horizon
+    * and the watermark evicts older keys, so state size is bounded by
+    * url arrival rate × horizon, independent of total stream length —
+    * the property that lets this run forever at crawl scale.
+    */
+  def dedupStream(pages: DataFrame, tsCol: String = "warc_ts",
+                  watermark: String = "1 hour"): DataFrame =
+    pages.filter(col(tsCol).isNotNull)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url")
+
   /** Windowed event aggregation (events table shape): watermark +
     * tumbling window + per-type counts — the standard streaming agg.
     */

@@ -69,6 +69,31 @@ class StreamMutateSpec extends SparkSpecBase {
       s"windowed ($windowed) + null-ts ($nullTs) must equal batch total ($batchTotal)")
   }
 
+  test("streaming url dedup: first arrival wins across batches, state keyed by url") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1767225600000L
+    val mem = MemoryStream[(Long, String, Long)]
+    val pages = mem.toDF.toDF("doc_id", "url", "ts_ms")
+      .withColumn("warc_ts", (col("ts_ms") / 1000).cast("timestamp"))
+      .drop("ts_ms")
+    val q = StreamingValidation.dedupStream(pages)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, "https://a.org/1", t0), (2L, "https://a.org/2", t0 + 1000))
+    q.processAllAvailable()
+    // url/1 re-arrives in a later batch with a newer ts: streaming
+    // first-wins keeps doc 1, unlike the batch latest-wins arg-max
+    mem.addData((3L, "https://a.org/1", t0 + 2000), (4L, "https://a.org/3", t0 + 3000))
+    q.processAllAvailable()
+    val got = spark.table("dedup_stream")
+      .select("doc_id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got === Set(
+      (1L, "https://a.org/1"), (2L, "https://a.org/2"), (4L, "https://a.org/3")))
+  }
+
   test("curate pass channel runs unchanged over a stream (stateless projection)") {
     val dir = Files.createTempDirectory("graft-curate-stream").toString
     val m = Derive.mappings(spark, "/root/testdata/sf0.001")
