@@ -135,13 +135,27 @@ class PlanSpec extends SparkSpecBase {
     // baselines (ngramJaccardPairs, cosineNearDupPairsExact) are test
     // oracles, and every candidate join here must be a band/bucket-keyed
     // equi join
-    for (name <- Seq("sim_minhash_lsh", "sim_simhash_pairs", "emb_neardup")) {
+    for (name <- Seq("sim_minhash_lsh", "sim_simhash_pairs", "emb_neardup",
+        "emb_neardup_multi", "emb_ivf_topk")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in $name:\n$p")
     }
     assert(!SparkEntry.queries.contains("sim_ngram_pairs"),
       "all-pairs ngram baseline must stay demoted to a test oracle")
+  }
+
+  test("IVF search broadcasts the probe side; the corpus is never exchanged pre-join") {
+    val p = planOf("emb_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"IVF probe join must broadcast:\n$p")
+    // the only Exchange allowed is the window's shuffle of the SLIM
+    // scored rows (query_id, id, cos) after the join — the corpus
+    // (id, vector, cell) must reach the join without an exchange
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val corpusSide = p.substring(joinIdx)
+    assert(!corpusSide.replaceFirst("BroadcastExchange[\\s\\S]*", "")
+      .contains("Exchange "),
+      s"corpus side shuffled before the IVF probe join:\n$p")
   }
 
   test("digest_record is a pure scan-side projection (no shuffle, no UDF)") {
