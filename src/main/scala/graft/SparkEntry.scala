@@ -89,6 +89,21 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")),
     "m_len_hist" -> ((s, dir) =>
       Stats.lengthHistogram(Derive.webPages(s, dir), "text")),
+    // GK quantile sketch with its rank-error bound verified against the
+    // exact order statistics (the quantile twin of m_stats's HLL check;
+    // scale path is Stats.approxQuantiles, sketch-only)
+    "m_quantiles" -> ((s, dir) =>
+      Stats.quantilesChecked(Derive.webPages(s, dir), length(col("text")))),
+
+    // ===== heavy hitters: sampled hot-domain pre-pass =====
+    // deterministic 1/4 systematic sample → domain counts → keys hot
+    // enough to warrant the salted dedup path (north rule: hot domains);
+    // the sample groupBy shuffles a quarter of the rows, nothing else
+    "m_hot_domains" -> ((s, dir) =>
+      Dedup.hotKeys(validPages(Derive.webPages(s, dir)),
+        regexp_extract(col("url"), "^https?://([^/]+)/", 1),
+        col("doc_id"), mod = 4, threshold = 10)
+        .withColumnRenamed("key", "domain")),
 
     // ===== uniqueness / dedup (process.py:99-147 arg-max semantics) =====
     "dedup_url" -> ((s, dir) =>
@@ -493,6 +508,33 @@ object SparkEntry {
          |SELECT part, CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS bucket,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM web_pages GROUP BY 1, 2""".stripMargin,
+    // exact order statistics at ranks (q ∓ 3ε)·n, ε = 1/accuracy = 0.01;
+    // ok is constant TRUE — the Spark side recomputes it from the sketch,
+    // so a sketch past its rank bound fails the exact compare. The
+    // (q - 0.03)·n arithmetic is double-for-double identical to the Spark
+    // expression (same literals, same operation order).
+    "m_quantiles" ->
+      s"""${Derive.duckCte},
+         |qlens AS (SELECT part, length(text) AS v FROM web_pages
+         |          WHERE length(text) IS NOT NULL),
+         |qagg AS (SELECT part, CAST(count(*) AS BIGINT) AS n,
+         |                list_sort(list(v)) AS ls
+         |         FROM qlens GROUP BY 1),
+         |qprobes AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q)
+         |SELECT qagg.part, qprobes.q,
+         |       CAST(ls[greatest(1, CAST(floor((q - 0.03e0) * n) AS INT))] AS BIGINT) AS lo,
+         |       CAST(ls[least(CAST(n AS INT),
+         |                     greatest(1, CAST(ceil((q + 0.03e0) * n) AS INT)))] AS BIGINT) AS hi,
+         |       TRUE AS ok, n
+         |FROM qagg CROSS JOIN qprobes""".stripMargin,
+    "m_hot_domains" ->
+      s"""${Derive.duckCte}
+         |SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+         |       CAST(count(*) AS BIGINT) AS sampled_n,
+         |       CAST(count(*) * 4 AS BIGINT) AS est_count
+         |FROM web_pages
+         |WHERE $validUrlWhere AND doc_id % 4 = 0
+         |GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
     "dedup_url" -> dedupUrlOracle,
     "dedup_url_salted" -> dedupUrlOracle,
     "dup_report" ->

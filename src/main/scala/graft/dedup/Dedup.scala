@@ -44,6 +44,26 @@ object Dedup {
       .select(col("key") +: payload.map(c => col(s"best.$c").as(c)): _*)
   }
 
+  /** Heavy-hitter detection on a deterministic row sample — the cheap
+    * pre-pass that decides WHETHER a key needs [[uniqueByKeySalted]]
+    * before the full shuffle runs: count key occurrences among rows
+    * where `sampleOn % mod == 0` (systematic 1/mod sampling on a
+    * key-uncorrelated id — deterministic, so the oracle reproduces it
+    * exactly, unlike `df.sample`) and keep keys whose sampled count
+    * clears `threshold`. `est_count = sampled_n × mod` is the unbiased
+    * frequency estimate. At scale the groupBy shuffles 1/mod of the
+    * rows, and a key hot enough to skew a reducer is hot enough to
+    * clear any sensible threshold in the sample.
+    */
+  def hotKeys(df: DataFrame, key: Column, sampleOn: Column,
+              mod: Int, threshold: Long): DataFrame =
+    df.filter(sampleOn % mod === 0)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("sampled_n"))
+      .filter(col("sampled_n") >= threshold)
+      .select(col("key"), col("sampled_n"),
+        (col("sampled_n") * mod).as("est_count"))
+
   /** Duplicate-key report: keys appearing more than once, with counts
     * (compare.py:192-206 duplicates tabulation).
     */

@@ -91,6 +91,70 @@ object Stats {
         col("row_count"))
   }
 
+  /** Production quantile path: per-partition GK sketch
+    * (`approx_percentile`, rank error <= 1/accuracy) over a numeric
+    * column — ONE partial+final aggregate, sketch state O(accuracy) per
+    * partition regardless of row count. The quantile twin of
+    * [[columnStats]]'s HLL++ default; verified by [[quantilesChecked]].
+    */
+  def approxQuantiles(df: DataFrame, value: Column,
+                      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      accuracy: Int = 10000): DataFrame =
+    df.select(col("part"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("part"))
+      .agg(percentile_approx(col("v"), array(qs.map(lit): _*), lit(accuracy))
+        .as("quantiles"), count(lit(1)).as("n"))
+
+  /** GK-sketch accuracy verification — the quantile twin of
+    * [[columnStatsChecked]]: per (part, probe quantile q), the sketch
+    * value must lie between the EXACT order statistics at ranks
+    * (q ∓ 3ε)·n, ε = 1/accuracy (3× the GK guarantee, mirroring the
+    * HLL check's 3σ margin). The emitted columns are all
+    * engine-deterministic — the integer rank-bound values lo/hi, the
+    * containment boolean, never the sketch value itself — so the DuckDB
+    * oracle (same order statistics + constant TRUE) exact-compares them:
+    * a sketch drifting past its documented rank error turns the row red
+    * in the correctness gate.
+    *
+    * VERIFICATION-ONLY at scale: grading the sketch needs the truth, so
+    * each group's values are materialized sorted (`collect_list`). The
+    * production entry point is [[approxQuantiles]].
+    */
+  def quantilesChecked(df: DataFrame, value: Column,
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                       accuracy: Int = 100): DataFrame = {
+    val eps = 3.0 / accuracy
+    val g = df.select(col("part"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("part"))
+      .agg(
+        sort_array(collect_list(col("v"))).as("sorted"),
+        percentile_approx(col("v"), array(qs.map(lit): _*), lit(accuracy))
+          .as("approx"),
+        count(lit(1)).as("n"))
+    // probe quantiles with their 1-based index into the approx array
+    val probes = array(qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), lit(i + 1).as("i")) }: _*)
+    g.select(col("part"), col("n"), col("sorted"), col("approx"),
+        explode(probes).as("p"))
+      .select(
+        col("part"),
+        col("p.q").as("q"),
+        element_at(col("sorted"),
+          greatest(lit(1), floor((col("p.q") - lit(eps)) * col("n")).cast("int")))
+          .as("lo"),
+        element_at(col("sorted"),
+          least(col("n").cast("int"),
+            greatest(lit(1), ceil((col("p.q") + lit(eps)) * col("n")).cast("int"))))
+          .as("hi"),
+        element_at(col("approx"), col("p.i")).as("approx_v"),
+        col("n"))
+      .select(col("part"), col("q"), col("lo"), col("hi"),
+        (col("approx_v") >= col("lo") && col("approx_v") <= col("hi")).as("ok"),
+        col("n"))
+  }
+
   /** Per-partition log2 length histogram over a string column:
     * bucket = floor(log2(max(length, 1))). Reference analogue: the
     * distribution counters of query.py:274-291; at scale this is one

@@ -33,6 +33,17 @@ class DedupSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("hotKeys flags the skewed key from a deterministic sample and nothing else") {
+    // "hot" holds 500 of 503 rows; a 1/4 systematic sample on doc_id
+    // sees 125 of them, far past any sane threshold, while "a"/"b"
+    // contribute at most one sampled row each
+    val got = Dedup.hotKeys(df, col("url"), col("doc_id"), mod = 4, threshold = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("hot"))
+    // doc_id 4,8,...,500 -> 125 sampled, est = 125 * 4 = 500 (exact here)
+    assert(got("hot") == ((125L, 500L)))
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.uniqueByKey(df, col("url"), ord, Seq("doc_id", "score"))
     val twice = Dedup.uniqueByKey(

@@ -26,6 +26,28 @@ class StatsDriftSpec extends SparkSpecBase {
     assert(got(1) == ((0.0, 1L, "z", "z", 1L)))
   }
 
+  test("quantilesChecked: sketch value sits inside the exact rank window (known data)") {
+    // part 0: 1..100 — exact quantiles are trivially v = rank
+    val df = (1 to 100).map(v => (0, v)).toDF("part", "len")
+    val rows = Stats.quantilesChecked(df, col("len"))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    // ranks (q ∓ 0.03)·100, clamped: windows [47,53], [87,93], [96,100]
+    assert(rows(0.5) == ((47L, 53L, true, 100L)))
+    assert(rows(0.9) == ((87L, 93L, true, 100L)))
+    assert(rows(0.99) == ((96L, 100L, true, 100L)))
+  }
+
+  test("quantilesChecked passes on the generated corpus; approxQuantiles agrees in count") {
+    val wp = graft.gen.Derive.webPages(spark, "/root/testdata/sf0.001")
+    val checked = Stats.quantilesChecked(wp, length(col("text"))).collect()
+    assert(checked.nonEmpty)
+    assert(checked.forall(_.getBoolean(4)), "a sketch value escaped its rank window")
+    // production path: one row per part, sketch only
+    val prod = Stats.approxQuantiles(wp, length(col("text"))).collect()
+    assert(prod.length == checked.length / 3) // 3 probe quantiles per part
+  }
+
   test("KL and PSI are zero for identical distributions") {
     val h = Seq(("en", 10L), ("de", 5L)).toDF("key", "n")
     val r = Drift.klPsi(h, h).head()
