@@ -68,6 +68,62 @@ object StreamingValidation {
       .groupBy(col("part"), col("check_name"))
       .agg(count(lit(1)).as("violation_count"))
 
+  /** Streaming distribution drift: per closed event-time window, KL and
+    * PSI of the window's categorical histogram against a STATIC baseline
+    * distribution — the streaming twin of [[graft.drift.Drift.klPsi]]
+    * with the same additive smoothing over the same key domain, so a
+    * window's (kl, psi) here equals the batch computation over that
+    * window's rows.
+    *
+    * Shape: two chained stateful aggregates (per-(window, key) counts,
+    * then per-window re-aggregation via `window_time` — the blessed
+    * multiple-stateful-operator pattern), then a STATELESS projection
+    * computing the divergences with higher-order functions over the
+    * baseline keys, which ride along as literal map/array expressions
+    * (the baseline is a driver-sized histogram — |langs|-ish — never a
+    * stream-side join). State is |keys| × windows-in-flight, bounded by
+    * the watermark; emission is append-mode on window close.
+    *
+    * Rows whose key is outside the baseline domain are excluded (the
+    * batch drift queries filter to the enum the same way); smoothing
+    * must be positive because a key CAN be absent from a window.
+    */
+  def driftStream(pages: DataFrame, baseline: Map[String, Long],
+                  keyCol: String = "lang", tsCol: String = "warc_ts",
+                  watermark: String = "1 hour", windowDur: String = "1 day",
+                  smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0.0,
+      "streaming drift needs additive smoothing (a key can be absent in a window)")
+    val keys = baseline.keys.toSeq.sorted
+    val sK = smoothing * keys.size
+    val bTotal = baseline.values.sum + sK
+    // baseline probabilities pre-normalized with the SAME smoothing the
+    // batch twin applies over the union of keys
+    val qLit = map(keys.flatMap(k =>
+      Seq(lit(k), lit((baseline(k) + smoothing) / bTotal))): _*)
+    val keysLit = array(keys.map(lit): _*)
+    val hist = pages
+      .filter(col(keyCol).isin(keys: _*))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val perWindow = hist
+      .groupBy(window(window_time(col("w")), windowDur).as("w"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("n"))))
+        .as("hist"), sum(col("n")).as("total"))
+    val terms = transform(keysLit, k => {
+      val p = (coalesce(element_at(col("hist"), k), lit(0L)) + lit(smoothing)) /
+        (col("total") + lit(sK))
+      val q = element_at(qLit, k)
+      struct((p * log(p / q)).as("kl"), ((p - q) * log(p / q)).as("psi"))
+    })
+    perWindow.select(
+      col("w"),
+      (round(aggregate(terms, lit(0.0), (acc, t) => acc + t.getField("kl")), 6) + 0.0).as("kl"),
+      (round(aggregate(terms, lit(0.0), (acc, t) => acc + t.getField("psi")), 6) + 0.0).as("psi"),
+      col("total"))
+  }
+
   /** Streaming url dedup: keep the FIRST arrival per url within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * twin of the batch arg-max dedup. A stream cannot retro-replace a

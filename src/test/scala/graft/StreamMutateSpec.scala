@@ -94,6 +94,45 @@ class StreamMutateSpec extends SparkSpecBase {
       (1L, "https://a.org/1"), (2L, "https://a.org/2"), (4L, "https://a.org/3")))
   }
 
+  test("streaming drift per closed window equals the batch klPsi over that window's rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1767225600L // divisible by 600 -> windows align on t0, t0+600
+    val baseline = Map("en" -> 50L, "de" -> 30L, "fr" -> 20L)
+    // window 1: en-heavy (+ one out-of-domain "zz" row that must drop);
+    // window 2: de-heavy
+    val w1 = Seq(("en", 0L), ("en", 10L), ("en", 20L), ("de", 30L), ("zz", 40L))
+    val w2 = Seq(("en", 600L), ("de", 610L), ("de", 620L), ("de", 630L), ("fr", 640L))
+    val mem = MemoryStream[(String, Long)]
+    val pages = mem.toDF.toDF("lang", "ts_s")
+      .withColumn("warc_ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = graft.streaming.StreamingValidation.driftStream(pages, baseline,
+        watermark = "1 minute", windowDur = "10 minutes")
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((w1 ++ w2).map { case (l, off) => (l, t0 + off) }: _*)
+    q.processAllAvailable()
+    mem.addData(("en", t0 + 86400L)) // sentinel: watermark passes both windows
+    q.processAllAvailable()
+    val got = spark.table("drift_stream")
+      .select(col("w.start").cast("long"), col("kl"), col("psi"), col("total"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    q.stop()
+    assert(got.keySet == Set(t0, t0 + 600L))
+    val bHist = baseline.toSeq.toDF("key", "n")
+    def batchKlPsi(rows: Seq[(String, Long)]): (Double, Double) = {
+      val cur = rows.filter(_._1 != "zz").toDF("lang", "off")
+      val r = graft.drift.Drift.klPsi(
+        graft.drift.Drift.histogram(cur, col("lang")), bHist, smoothing = 0.5).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (k1, p1) = batchKlPsi(w1); val (k2, p2) = batchKlPsi(w2)
+    assert(got(t0)._3 == 4L && got(t0 + 600L)._3 == 5L)
+    assert(math.abs(got(t0)._1 - k1) <= 2e-6 && math.abs(got(t0)._2 - p1) <= 2e-6)
+    assert(math.abs(got(t0 + 600L)._1 - k2) <= 2e-6 && math.abs(got(t0 + 600L)._2 - p2) <= 2e-6)
+  }
+
   test("curate pass channel runs unchanged over a stream (stateless projection)") {
     val dir = Files.createTempDirectory("graft-curate-stream").toString
     val m = Derive.mappings(spark, "/root/testdata/sf0.001")
