@@ -247,7 +247,14 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(
           array_join(array_sort(collect_set(col("l_returnflag"))), "|").as("flags"),
-          when(countDistinct(col("l_linestatus")) === 1, min(col("l_linestatus")))
+          // "all members share one status" via min = max, NOT
+          // countDistinct: a distinct aggregate mixed with non-distinct
+          // ones triggers Catalyst's double-aggregation rewrite (a
+          // SECOND exchange keyed (group, distinct-col)); min/max are
+          // plain partial aggregates, same null semantics (both ignore
+          // nulls; all-null group -> null = null -> null either way)
+          when(min(col("l_linestatus")) === max(col("l_linestatus")),
+            min(col("l_linestatus")))
             .otherwise(lit(null).cast("string")).as("status_if_uniform"),
           count(lit(1)).as("n_members"))),
 

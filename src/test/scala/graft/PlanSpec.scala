@@ -21,6 +21,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "map-side partial aggregation missing")
   }
 
+  test("group-merge is one partial+final aggregate (min=max uniformity, no distinct-agg rewrite)") {
+    // countDistinct mixed into a non-distinct aggregate triggers
+    // Catalyst's double aggregation: a SECOND exchange keyed
+    // (group, distinct-col). status_if_uniform uses min=max instead,
+    // which stays a plain partial aggregate.
+    val p = planOf("agg_merge")
+    assert("Exchange".r.findAllIn(p).size == 1, s"agg_merge must shuffle once:\n$p")
+    assert(p.contains("partial_"), "map-side partial aggregation missing")
+  }
+
+  test("hot-key pre-pass samples before its aggregate (filter under the scan side, one shuffle)") {
+    val p = planOf("m_hot_domains")
+    assert("Exchange".r.findAllIn(p).size == 1, s"hotKeys must shuffle once:\n$p")
+    // the 1/mod systematic sample must run BELOW the partial aggregate
+    // (deeper = later in the printed tree), so only sampled rows reach
+    // the shuffle
+    assert(p.indexOf("% 4") > p.indexOf("partial_count"), s"sample filter not below the agg:\n$p")
+  }
+
   test("dedup arg-max partially aggregates before its shuffle") {
     val p = planOf("dedup_url")
     val exchangeIdx = p.indexOf("Exchange")
