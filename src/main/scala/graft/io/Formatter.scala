@@ -45,17 +45,22 @@ object Formatter {
     * result is a DataFrame (and oracle-comparable).
     */
   def condensable(df: DataFrame, candidates: Seq[String]): DataFrame = {
+    // "exactly one distinct non-null value" as min = max on the ORIGINAL
+    // column (true iff >= 1 non-null and all equal), NOT countDistinct:
+    // one distinct aggregate per candidate triggers Catalyst's Expand —
+    // the input multiplied by |candidates| before the shuffle — while
+    // min/max stay plain partial aggregates in ONE pass
     val aggs = candidates.flatMap(c => Seq(
-      countDistinct(col(c)).as(s"n_$c"),
+      (min(col(c)) === max(col(c))).as(s"u_$c"),
       min(col(c).cast("string")).as(s"v_$c")))
     val g = df.agg(aggs.head, aggs.tail: _*)
     val entries = array(candidates.map(c => struct(
       lit(c).as("col_name"),
-      col(s"n_$c").as("n_distinct"),
+      col(s"u_$c").as("uniform"),
       col(s"v_$c").as("value"))): _*)
     g.select(explode(entries).as("e"))
       .select(col("e.col_name"), col("e.value"))
-      .where(col("e.n_distinct") === 1)
+      .where(col("e.uniform"))
   }
 
   /** Default propagation (constants.py:81-102, api.py:681-693): fill
