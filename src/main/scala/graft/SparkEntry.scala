@@ -33,8 +33,7 @@ object SparkEntry {
     * rows continue downstream" stage (pass-channel of io.py:691-701).
     */
   private def validPages(df: DataFrame): DataFrame =
-    df.filter(col("url").isNotNull && length(col("url")) > 0 &&
-      col("url").rlike(Constraints.UrlPattern))
+    df.filter(Constraints.validUrl)
 
   private val validUrlWhere =
     "url IS NOT NULL AND length(url) > 0 AND regexp_matches(url, '^https?://[a-z0-9.-]+(/[^ ]*)?$')"
@@ -631,12 +630,18 @@ object SparkEntry {
         |    THEN 1 - 1.0 / (1.5 + value) ELSE 1.0 / (1.5 + value) END), 6) AS confidence,
         |  CAST(count(*) AS BIGINT) AS n_evidence
         |FROM events GROUP BY event_type""".stripMargin,
+    // certain evidence (c = 1) clamps to exactly 1, mirroring the Spark
+    // side's max(c) >= 1 guard; the inner CASE keeps DuckDB from ever
+    // evaluating ln(0) (DuckDB errors on it, Spark's log returns null)
     "conf_noisyor" ->
-      """SELECT event_type,
-        |  round(1 - exp(sum(ln(1 - CASE WHEN event_type = 'error'
-        |    THEN 1 - 1.0 / (1.5 + value) ELSE 1.0 / (1.5 + value) END))), 6) AS confidence,
+      """WITH ec AS (SELECT event_type, CASE WHEN event_type = 'error'
+        |    THEN 1 - 1.0 / (1.5 + value) ELSE 1.0 / (1.5 + value) END AS c
+        |  FROM events)
+        |SELECT event_type,
+        |  round(CASE WHEN max(c) >= 1.0 THEN 1.0
+        |    ELSE 1 - exp(sum(CASE WHEN c >= 1.0 THEN NULL ELSE ln(1 - c) END)) END, 6) AS confidence,
         |  CAST(count(*) AS BIGINT) AS n_evidence
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM ec GROUP BY event_type""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

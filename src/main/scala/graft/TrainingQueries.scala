@@ -197,7 +197,7 @@ object TrainingQueries {
     "t_quality" ->
       s"""WITH $toksCte,
          |m AS (SELECT doc_id, len(ws) AS n_tok,
-         |  CAST(length(lower(text)) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
          |    / greatest(length(lower(text)), 1) AS punct_r,
          |  CAST(len(list_filter(ws, t -> list_contains(${stops("en")}, t))) AS DOUBLE)
          |    / greatest(len(ws), 1) AS stop_r

@@ -42,8 +42,7 @@ object BucketBench {
     val plainLineage = s"/tmp/graft_bucket_lineage_$n"
     val wh = s"/tmp/graft_bucket_wh_$n"
     val gen = WebGen.pages(spark, n, parts = 64)
-    val genValid = gen.filter(col("url").isNotNull && length(col("url")) > 0 &&
-      col("url").rlike(Constraints.UrlPattern))
+    val genValid = gen.filter(Constraints.validUrl)
     val genLineage = genValid.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url")
 
     def timeIt(f: => Unit): Double = {
@@ -68,8 +67,7 @@ object BucketBench {
     val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
       (-col("doc_id")).as("negid"))
     def validOf(df: org.apache.spark.sql.DataFrame) =
-      df.filter(col("url").isNotNull && length(col("url")) > 0 &&
-        col("url").rlike(Constraints.UrlPattern))
+      df.filter(Constraints.validUrl)
 
     def plainJob(): Long = {
       val pages = validOf(spark.read.parquet(plainPages))

@@ -50,8 +50,7 @@ object ScalingBench {
     import graft.stats.Stats
     val pages = spark.read.parquet(path)
     locally {
-      val valid = pages.filter(col("url").isNotNull && length(col("url")) > 0 &&
-        col("url").rlike(Constraints.UrlPattern))
+      val valid = pages.filter(Constraints.validUrl)
       // deterministic synthetic lineage: 5/6 of valid urls have a fetch row
       val lineage = valid.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url")
       val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),

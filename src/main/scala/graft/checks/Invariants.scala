@@ -86,6 +86,11 @@ object Invariants {
         concat(col("digest_prev"), lit("->"), col("digest")).as("detail"),
         lit("processing").as("stage"))
 
+  /** LIFETIME CONTRACT: the returned violations DataFrame is PERSISTED
+    * (it must materialize before the new-digest append below mutates the
+    * store it reads) — the caller unpersists after consuming it, or a
+    * long-lived session leaks one cached DataFrame per run.
+    */
   def checkAndStoreDigests(spark: org.apache.spark.sql.SparkSession,
                            batch: DataFrame, root: String, runId: String): DataFrame = {
     import graft.io.Tables

@@ -122,6 +122,14 @@ object Constraints {
     */
   val UrlPattern = "^https?://[a-z0-9.-]+(/[^ ]*)?$"
 
+  /** "This row's url passed the raw + shape checks" — the pass-channel
+    * predicate every url-keyed pass (dedup, RI, digest, benches) filters
+    * on. ONE definition: the SQL twin is SparkEntry.validUrlWhere; keep
+    * them in lockstep.
+    */
+  def validUrl: org.apache.spark.sql.Column =
+    col("url").isNotNull && length(col("url")) > 0 && col("url").rlike(UrlPattern)
+
   /** The webtext validation suite — the SURVEY §7.0 semantic bridge from
     * the reference's Record validators to the web-page table.
     */

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   * DuckDB's list_cosine_similarity), so results are bit-compatible with
   * the oracle at round(·, 6).
   *
-  * Returns NULL if either input is NULL or lengths differ.
+  * Returns NULL if either input is NULL, lengths differ, or ANY element
+  * is null — the zip_with twin's null propagation (a null element nulls
+  * the product, the fold, and the cosine; silently reading the slot as
+  * 0.0 would corrupt rankings, and DuckDB's list_cosine_similarity
+  * REJECTS null elements rather than substituting).
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -34,46 +38,45 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) return null
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = x.numElements()
-    while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
+      val r = ctx.freshName("cosR")
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |java.lang.Double $r = graft.expr.CosineSim.cos($a, $b);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
-         |    double $xi = $a.getDouble($i);
-         |    double $yi = $b.getDouble($i);
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  ${ev.value} = $r.doubleValue();
          |}
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+object CosineSim {
+
+  /** Called from generated code AND interpreted eval (one shared path —
+    * no dual-implementation drift). Null on length mismatch or any null
+    * element; the null check rides inside the single fused loop.
+    */
+  def cos(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 object VectorExprs {

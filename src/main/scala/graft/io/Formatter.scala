@@ -36,7 +36,10 @@ object Formatter {
     val aggs = candidates.map(c =>
       max(when(col(c).isNotNull && col(c).cast("string") =!= "", 1).otherwise(0)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    candidates.zipWithIndex.collect { case (c, i) if row.getInt(i) == 1 => c }
+    // max over ZERO rows is null — an empty input has no present columns,
+    // not an NPE
+    candidates.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) && row.getInt(i) == 1 => c }
   }
 
   /** Condensation (io.py:484-510): per column, if exactly one distinct

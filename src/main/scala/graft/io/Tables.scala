@@ -51,6 +51,28 @@ object Tables {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", path).format("parquet").saveAsTable(table)
 
+  /** The header-compatibility contract shared by both append paths
+    * (io.py:381-387): no new columns, no missing columns, no type
+    * changes — strict by-name match, order-insensitive, like Iceberg's
+    * write contract. Returns the incoming frame realigned to the
+    * table's column order.
+    */
+  private def checkAndAlign(existing: org.apache.spark.sql.types.StructType,
+                            df: DataFrame): DataFrame = {
+    val have = existing.fields.map(f => f.name -> f.dataType).toMap
+    val incoming = df.schema.fields
+    val newCols = incoming.filter(f => !have.contains(f.name))
+    require(newCols.isEmpty,
+      s"append would introduce new columns: ${newCols.map(_.name).mkString(", ")}")
+    val missing = have.keySet -- incoming.map(_.name).toSet
+    require(missing.isEmpty,
+      s"append is missing columns: ${missing.mkString(", ")}")
+    val mismatched = incoming.filter(f => have(f.name) != f.dataType)
+    require(mismatched.isEmpty,
+      s"append would change column types: ${mismatched.map(_.name).mkString(", ")}")
+    df.select(existing.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** Bucketed twin of [[appendWithSchemaCheck]]: same header contract,
     * appends THROUGH the catalog so every appended file lands in its
     * url-hash bucket (a plain parquet append would break the layout —
@@ -60,20 +82,7 @@ object Tables {
                      path: String, bucketCol: String = "url",
                      buckets: Int = 8): Unit = {
     if (spark.catalog.tableExists(table)) {
-      val existing = spark.table(table).schema
-      val have = existing.fields.map(f => f.name -> f.dataType).toMap
-      val incoming = df.schema.fields
-      val newCols = incoming.filter(f => !have.contains(f.name))
-      require(newCols.isEmpty,
-        s"append would introduce new columns: ${newCols.map(_.name).mkString(", ")}")
-      val missing = have.keySet -- incoming.map(_.name).toSet
-      require(missing.isEmpty,
-        s"append is missing columns: ${missing.mkString(", ")}")
-      val mismatched = incoming.filter(f => have(f.name) != f.dataType)
-      require(mismatched.isEmpty,
-        s"append would change column types: ${mismatched.map(_.name).mkString(", ")}")
-      val aligned = df.select(existing.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      aligned.write.mode("append")
+      checkAndAlign(spark.table(table).schema, df).write.mode("append")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .format("parquet").saveAsTable(table)
     } else writeBucketed(df, table, path, bucketCol, buckets)
@@ -86,21 +95,8 @@ object Tables {
     */
   def appendWithSchemaCheck(spark: SparkSession, df: DataFrame, root: String): Unit = {
     if (exists(spark, root)) {
-      val existing = spark.read.parquet(root).schema
-      val have = existing.fields.map(f => f.name -> f.dataType).toMap
-      val incoming = df.schema.fields
-      val newCols = incoming.filter(f => !have.contains(f.name))
-      require(newCols.isEmpty,
-        s"append would introduce new columns: ${newCols.map(_.name).mkString(", ")}")
-      val missing = have.keySet -- incoming.map(_.name).toSet
-      require(missing.isEmpty,
-        s"append is missing columns: ${missing.mkString(", ")}")
-      val mismatched = incoming.filter(f => have(f.name) != f.dataType)
-      require(mismatched.isEmpty,
-        s"append would change column types: ${mismatched.map(_.name).mkString(", ")}")
-      // align column order to the table's
-      val aligned = df.select(existing.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      aligned.write.mode("append").parquet(root)
+      checkAndAlign(spark.read.parquet(root).schema, df)
+        .write.mode("append").parquet(root)
     } else {
       df.write.mode("error").parquet(root)
     }

@@ -69,7 +69,11 @@ object ValidationRun {
       val digViol = graft.checks.Invariants.checkAndStoreDigests(spark, batch, root, runId)
       val digTarget = if (keyCols == Seq("url")) violationsPath(root)
         else s"$root/digest_violations" // key shapes differ: keep own table
-      Tables.appendWithSchemaCheck(spark, digViol, digTarget)
+      // digViol comes back persisted (materialized before the digest
+      // append); release its blocks once consumed or a long-lived
+      // session leaks one cached DataFrame per run
+      try Tables.appendWithSchemaCheck(spark, digViol, digTarget)
+      finally digViol.unpersist()
 
       val rows = batch.count()
       val snap = Checkpoint.commit(spark, root, runId, parts)
@@ -132,8 +136,7 @@ object ValidationRun {
     // url-keyed dataset checks over the co-located layout (zero-exchange
     // plan); only well-formed urls participate — the malformed ones are
     // the row suite's finding, and they'd all "dangle" as noise here
-    val valid = todo.filter(col("url").isNotNull && length(col("url")) > 0 &&
-      col("url").rlike(graft.constraints.Constraints.UrlPattern))
+    val valid = todo.filter(graft.constraints.Constraints.validUrl)
     val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
       (-col("doc_id")).as("negid"))
     val urlViol = graft.checks.DatasetChecks
@@ -163,7 +166,8 @@ object ValidationRun {
     // join and append-if-absent anti join are both exchange-free
     val digViol = graft.checks.Invariants.checkAndStoreDigestsBucketed(
       spark, todo, digestTableName(root), s"$root/digests_bkt", runId, buckets)
-    Tables.appendWithSchemaCheck(spark, digViol, violationsPath(root))
+    try Tables.appendWithSchemaCheck(spark, digViol, violationsPath(root))
+    finally digViol.unpersist()
 
     val rows = todo.count()
     val snap = Checkpoint.commit(spark, root, runId, parts)

@@ -97,9 +97,12 @@ object Ann {
         graft.expr.LshBuckets.lshBuckets(col("v"), dim, nPlanes, nTables))
       .withColumns(Map((0 until nTables).map(t =>
         s"bucket_$t" -> element_at(col("__buckets"), t + 1)): _*))
-    // slim probe keys; the bucketed index feeds key-gen + two re-attach
-    // joins (at scale this is a materialized index table; persist is the
-    // in-session equivalent — callers clear cache when done)
+      // the bucketed index feeds key-gen + two vector re-attach joins —
+      // three scans of the corpus without this; at scale it is a
+      // materialized index table, persist is the in-session equivalent
+      // (same lifetime contract as Sim.minhashLshPairs: callers
+      // clearCache/unpersist after materializing the result)
+      .persist()
     // explode_outer: plain explode triggers InferFiltersFromGenerate,
     // which inlines the generator (and the lshBucket expression under it)
     // into a pre-Project Filter — the 3×-evaluation trap

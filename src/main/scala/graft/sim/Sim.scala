@@ -55,8 +55,12 @@ object Sim {
     * keeps as the semantic oracle in TextSimSpec).
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    // coalesce: the expression is null-intolerant (NULL in -> NULL out),
+    // but the relational twin yields an EMPTY array for NULL text
+    // (size(null) >= n is null -> otherwise branch) — shingle("") = []
+    // keeps the two value-identical on null-text corpora
     docs.select(col(idCol).as("id"),
-      graft.expr.WordShingles.wordShingles(col(textCol), n).as("shs"))
+      graft.expr.WordShingles.wordShingles(coalesce(col(textCol), lit("")), n).as("shs"))
 
   /** Relational form of [[shingled]] (interpreted HOF lambdas; tokens
     * materialized as an attribute in their own projection step — the

@@ -67,7 +67,10 @@ object TextOps {
     val t = lower(col(textCol))
     val toks = tokens(col(textCol))
     val nTok = size(toks).cast("long")
-    val punct = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", ""))).cast("double")
+    // punctuation = what remains after stripping [a-z0-9 ] — the length
+    // of the RESIDUE itself (length(t) minus the residue would count the
+    // alphanumerics, inverting the ratio)
+    val punct = length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double")
     val punctRatio = punct / greatest(length(t), lit(1)).cast("double")
     val stopRatio = stopwordHits(toks, Stopwords.head._2).cast("double") /
       greatest(nTok, lit(1L)).cast("double")

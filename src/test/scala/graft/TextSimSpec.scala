@@ -14,6 +14,17 @@ class TextSimSpec extends SparkSpecBase {
     assert(got == Seq("hello", "world", "42x"))
   }
 
+  test("qualityScore penalizes punctuation and rewards prose (ratio direction)") {
+    val df = Seq(
+      (1L, "the and of to in is data spark the and of to in is"),
+      (2L, "!!! ??? ;;; ### $$$ %%% ^^^ &&&")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(df, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(4)))).toMap
+    assert(q(1L)._1 == 0.0, "pure prose has zero punctuation ratio")
+    assert(q(2L)._1 > 0.5, "symbol spam must register as punctuation")
+    assert(q(1L)._2 > q(2L)._2, "prose must outscore symbol spam")
+  }
+
   test("language id picks the stopword-dominant language; und when none") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
@@ -71,10 +82,12 @@ class TextSimSpec extends SparkSpecBase {
       .sameElements(dump(Sim.shingledRelational(docs, "doc_id", "text"))))
     // edges: case folding, unicode separators, punctuation, short text,
     // repeated shingles (first-occurrence dedup order), digits
-    val edge = Seq(
+    val edge = (Seq(
       "A b C d A b C d", "héllo wörld foo bar", "one two", "",
       "x1 Y2 z3 w4", "a--b..c!!d", "ÉÀ ü ss 9 q"
-    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, null.asInstanceOf[String]) // NULL text -> empty shingles BOTH ways
+    ).toDF("doc_id", "text")
     assert(dump(Sim.shingled(edge, "doc_id", "text"))
       .sameElements(dump(Sim.shingledRelational(edge, "doc_id", "text"))))
     // SQL surface
