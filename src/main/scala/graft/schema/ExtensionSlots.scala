@@ -20,6 +20,12 @@ object ExtensionSlots {
   /** Validate declarations (collision + duplicate check) and cast each
     * declared column to its type. Missing columns are an error — slots
     * are declared because the data carries them.
+    *
+    * The pseudo-type `"curie"` parses the value as a CURIE through the
+    * prefix map instead of a Spark cast (the reference's extension-slot
+    * reference parse, api.py:751-754 / tests/test_extension_slots.py:180
+    * `test_extension_slot_curie`): known-prefix values expand to the
+    * full URI, unknown prefixes and non-CURIE strings pass through.
     */
   def applySlots(df: DataFrame, slots: Seq[Slot]): DataFrame = {
     val dupes = slots.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
@@ -29,6 +35,8 @@ object ExtensionSlots {
       s"extension slots shadow built-in columns: ${collisions.mkString(", ")}")
     val missing = slots.map(_.name).filterNot(df.columns.contains)
     require(missing.isEmpty, s"declared slots absent from data: ${missing.mkString(", ")}")
-    slots.foldLeft(df)((d, s) => d.withColumn(s.name, col(s.name).cast(s.sparkType)))
+    slots.foldLeft(df)((d, s) => d.withColumn(s.name,
+      if (s.sparkType == "curie") graft.canonical.Canonical.expandCurie(col(s.name))
+      else col(s.name).cast(s.sparkType)))
   }
 }

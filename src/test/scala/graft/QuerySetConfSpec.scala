@@ -64,6 +64,15 @@ class QuerySetConfSpec extends SparkSpecBase {
     assert(ids == Seq(3L, 1L))
   }
 
+  test("paginate: offset past the end is empty; offset drops the prefix (tests/test_query.py:112-153)") {
+    val sorted = pages.orderBy(col("doc_id"))
+    assert(QueryDsl.paginate(sorted, 10000, 10).count() == 0L)
+    val n = sorted.count().toInt
+    val rest = QueryDsl.paginate(sorted, 1, n)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(rest == sorted.select("doc_id").collect().map(_.getLong(0)).toSeq.drop(1))
+  }
+
   test("vennCounts/vennSplit/excludeByKey") {
     val a = Seq(1, 2, 3).toDF("k")
     val b = Seq(3, 4).toDF("k")

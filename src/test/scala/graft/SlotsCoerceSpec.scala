@@ -22,6 +22,13 @@ class SlotsCoerceSpec extends SparkSpecBase {
       ExtensionSlots.Slot("score", "int"), ExtensionSlots.Slot("seen", "date")))
     assert(typed.schema("score").dataType.typeName == "integer")
     assert(typed.schema("seen").dataType.typeName == "date")
+    // curie pseudo-type: reference parse through the prefix map
+    // (tests/test_extension_slots.py:180); unknown prefix passes through
+    val cdf = Seq((1L, "wd:Q42"), (2L, "nope:X"), (3L, "plain")).toDF("doc_id", "ref")
+    val refs = ExtensionSlots.applySlots(cdf, Seq(ExtensionSlots.Slot("ref", "curie")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(refs(1L) == "https://www.wikidata.org/wiki/Q42")
+    assert(refs(2L) == "nope:X" && refs(3L) == "plain")
     intercept[IllegalArgumentException] {
       ExtensionSlots.applySlots(df, Seq(ExtensionSlots.Slot("url", "string")))
     }
