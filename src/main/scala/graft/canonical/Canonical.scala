@@ -132,7 +132,11 @@ object Canonical {
     case FmtStr => f.value
     case FmtUri => expandCurie(f.value, pm)
     case FmtFloat3 => round(f.value, 3).cast("string")
-    case FmtBool => when(f.value, lit("true")).otherwise(lit("false"))
+    // two-arm when, NOT when/otherwise: otherwise("false") would render
+    // a NULL boolean as "false" (never-null), so boxOf's isNotNull gate
+    // could not omit the box — an absent boolean must drop its box like
+    // every other absent slot (the reference omits None slots)
+    case FmtBool => when(f.value, lit("true")).when(!f.value, lit("false"))
     case FmtStrList | FmtUriList =>
       throw new IllegalStateException("list fmts render via boxOf")
   }
@@ -200,8 +204,14 @@ object Canonical {
     */
   def tripleHash(subj: Column, pred: Column, obj: Column, negated: Column,
                  pm: Map[String, String] = PrefixMap): Column = {
+    // concat, NOT concat_ws: a null component must null the hash (the
+    // reference raises on a None reference). concat_ws silently skips
+    // nulls, which would assign (null,'a','b') and ('a','b',null) the
+    // SAME identity "aURI bURI" — and diverge from the DuckDB oracle's
+    // null-propagating `||`.
     val h = graft.expr.Sha256HexLower.sha256Hex(
-      concat_ws(" ", expandCurie(subj, pm), expandCurie(pred, pm), expandCurie(obj, pm)))
+      concat(expandCurie(subj, pm), lit(" "), expandCurie(pred, pm),
+        lit(" "), expandCurie(obj, pm)))
     when(coalesce(negated, lit(false)), concat(h, lit("~"))).otherwise(h)
   }
 

@@ -179,7 +179,12 @@ object Curate {
     */
   def invertByPredicate(df: DataFrame, pred: Column,
                         derivePolicy: Boolean): DataFrame = {
-    val eligible = col("justification") =!= MappingInversion &&
+    // coalesce: `=!=` is three-valued, so a NULL justification would
+    // null `eligible` and silently skip the inversion — but a row with
+    // no justification is NOT a prior inversion and must invert (the
+    // reference inverts records whose justification is None). Same
+    // hardening as curate()'s already-curated guard.
+    val eligible = coalesce(col("justification") =!= MappingInversion, lit(true)) &&
       element_at(litMap(InversionMap), col("predicate_id")).isNotNull && pred
     val origTriple = Canonical.tripleHashCurie(
       col("subject_id"), col("predicate_id"), col("object_id"),

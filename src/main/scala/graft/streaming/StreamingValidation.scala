@@ -133,6 +133,13 @@ object StreamingValidation {
     * and the watermark evicts older keys, so state size is bounded by
     * url arrival rate × horizon, independent of total stream length —
     * the property that lets this run forever at crawl scale.
+    *
+    * COVERAGE GAP, by construction (the same NULL-event-time gap
+    * [[windowedViolationCounts]] documents): rows with a NULL `tsCol`
+    * cannot sit under a watermark and are EXCLUDED here — run
+    * [[dedupStreamNullTs]] alongside so they flow on (un-deduped, as
+    * the `warc_ts_required` violation channel's input) instead of
+    * silently vanishing from the feed.
     */
   def dedupStream(pages: DataFrame, tsCol: String = "warc_ts",
                   watermark: String = "1 hour"): DataFrame =
@@ -140,6 +147,14 @@ object StreamingValidation {
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("url")
+
+  /** The NULL-event-time complement of [[dedupStream]]: pass-through of
+    * rows the dedup feed must exclude (no watermark ⇒ no dedup state),
+    * so `dedupStream ∪ dedupStreamNullTs` loses no input row and a
+    * streaming-vs-batch row-count reconciliation balances.
+    */
+  def dedupStreamNullTs(pages: DataFrame, tsCol: String = "warc_ts"): DataFrame =
+    pages.filter(col(tsCol).isNull)
 
   /** Windowed event aggregation (events table shape): watermark +
     * tumbling window + per-type counts — the standard streaming agg.

@@ -237,4 +237,33 @@ class CanonicalSpec extends SparkSpecBase {
     assert(rows.getString(3) ===
       "mapping:36a1f9244ea7641a90987c82f33c25c0c13712ee8f48207b2a0825f8a4e4e26a")
   }
+
+  test("triple hash null-propagates: a malformed triple has NO identity") {
+    // concat_ws would skip the null and give (null, p, o) and (p, o, null)
+    // the SAME digest; the reference raises on a None reference, so the
+    // engine's analogue is a NULL hash (error-channel material)
+    val r = spark.range(1).select(
+      Canonical.tripleHash(lit(null).cast("string"), lit("skos:exactMatch"),
+        lit("CHEBI:28646"), lit(false), pmTriple).as("h1"),
+      Canonical.tripleHash(lit("mesh:C000089"), lit("skos:exactMatch"),
+        lit(null).cast("string"), lit(true), pmTriple).as("h2")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("absent boolean slot omits its box instead of rendering false") {
+    import Canonical.Field
+    val fields = Seq(
+      Field("subject_id", lit("a:1"), Canonical.FmtUri),
+      Field("predicate_id", lit("a:2"), Canonical.FmtUri),
+      Field("object_id", lit("a:3"), Canonical.FmtUri),
+      Field("mapping_justification", lit("a:4"), Canonical.FmtUri))
+    def sx(v: org.apache.spark.sql.Column): String =
+      spark.range(1).select(Canonical.sexpr(fields, Map("a" -> "urn:a:"),
+        Seq(Field("urn:a:flag", v, Canonical.FmtBool))).as("s")).head().getString(0)
+    val absent = sx(lit(null).cast("boolean"))
+    assert(!absent.contains("flag"), s"null boolean must drop its box: $absent")
+    assert(!absent.contains("extensions"), "all-null extensions must drop the group box")
+    assert(sx(lit(false)).contains("10:urn:a:flag5:false"))
+    assert(sx(lit(true)).contains("10:urn:a:flag4:true"))
+  }
 }

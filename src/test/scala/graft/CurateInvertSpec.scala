@@ -247,6 +247,15 @@ class CurateInvertSpec extends SparkSpecBase {
     assert(rows(1).getAs[String]("subject_id") === "CHEBI:1")
   }
 
+  test("invert: NULL justification is not a prior inversion — the row still inverts") {
+    // three-valued trap: justification =!= MappingInversion is NULL for
+    // a NULL justification, which would silently skip the row
+    val df = mappingsDf(Seq(base(1, "skos:narrowMatch", just = null)))
+    val r = Curate.invertNarrowMatches(df, derivePolicy = false).head()
+    assert(r.getAs[String]("subject_id") === "CHEBI:28646")
+    assert(r.getAs[String]("predicate_id") === "skos:broadMatch")
+  }
+
   test("named filters: exclude_negative / exclude_unsure / filter_by_confidence null semantics") {
     val df = mappingsDf(Seq(
       base(1, "skos:exactMatch"),                                 // passes all

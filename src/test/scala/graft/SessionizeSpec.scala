@@ -16,7 +16,7 @@ class SessionizeSpec extends SparkSpecBase {
     Event(1L, ts(30), "click"),                            // session B after 29m gap
     Event(2L, ts(5), "view"))                              // session (user 2, stays open)
 
-  test("flatMapGroupsWithState closes sessions on gap; open sessions stay in state") {
+  test("flatMapGroupsWithState closes sessions on gap; silence closes the rest via timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
     val q = Sessionize.sessions(spark, mem.toDS(), gapMs = 10 * 60000L)
@@ -25,9 +25,42 @@ class SessionizeSpec extends SparkSpecBase {
     mem.addData(events: _*)
     q.processAllAvailable()
     val closed = spark.table("sessions").as[Session].collect()
-    q.stop()
     // only user 1's first session closed (gap exceeded); the rest are live state
     assert(closed.toSeq == Seq(Session(1L, ts(0), ts(1), 2)))
+    // a far-future event advances the watermark past every open
+    // session's last + gap: the EventTimeTimeout emits them and evicts
+    // their state — the "final session of a silent user" guarantee
+    mem.addData(Event(3L, ts(24 * 60), "tick"))
+    q.processAllAvailable()
+    val all = spark.table("sessions").as[Session].collect().toSet
+    q.stop()
+    assert(all == Set(
+      Session(1L, ts(0), ts(1), 2),
+      Session(1L, ts(30), ts(30), 1),
+      Session(2L, ts(5), ts(5), 1)))
+  }
+
+  test("in-horizon out-of-order event merges downward into the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, mem.toDS(), gapMs = 10 * 60000L,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(Event(7L, ts(60), "a"))
+    q.processAllAvailable()
+    // ts(55) arrives in a LATER batch but is gap-adjacent below the open
+    // [60, 60] session: it must extend start to 55, as the batch
+    // oracle's global sort would
+    mem.addData(Event(7L, ts(55), "b"))
+    q.processAllAvailable()
+    // close it via watermark and read the merged bounds
+    mem.addData(Event(8L, ts(5 * 60), "tick"))
+    q.processAllAvailable()
+    val got = spark.table("sessions_ooo").as[Session].collect().toSet
+    q.stop()
+    assert(got.contains(Session(7L, ts(55), ts(60), 2)),
+      s"late in-horizon event must merge downward, got $got")
   }
 
   test("stateful sessions match the batch window oracle on closed sessions") {

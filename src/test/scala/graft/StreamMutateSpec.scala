@@ -94,6 +94,32 @@ class StreamMutateSpec extends SparkSpecBase {
       (1L, "https://a.org/1"), (2L, "https://a.org/2"), (4L, "https://a.org/3")))
   }
 
+  test("dedup feed + null-ts complement lose no input row (count reconciliation)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1767225600000L
+    val mem = MemoryStream[(Long, String, java.lang.Long)]
+    val pages = mem.toDF.toDF("doc_id", "url", "ts_ms")
+      .withColumn("warc_ts", (col("ts_ms") / 1000).cast("timestamp"))
+      .drop("ts_ms")
+    val qd = StreamingValidation.dedupStream(pages)
+      .writeStream.format("memory").queryName("rec_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val qn = StreamingValidation.dedupStreamNullTs(pages)
+      .writeStream.format("memory").queryName("rec_nullts")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      (1L, "https://a.org/1", java.lang.Long.valueOf(t0)),
+      (2L, "https://a.org/1", java.lang.Long.valueOf(t0 + 1000)), // dup, dropped
+      (3L, "https://a.org/2", null))                              // null ts: complement
+    qd.processAllAvailable(); qn.processAllAvailable()
+    val deduped = spark.table("rec_dedup").count()
+    val nullts = spark.table("rec_nullts").count()
+    qd.stop(); qn.stop()
+    assert(deduped == 1L && nullts == 1L,
+      s"3 rows in -> 1 deduped + 1 dup dropped + 1 null-ts complement (got $deduped/$nullts)")
+  }
+
   test("streaming drift per closed window equals the batch klPsi over that window's rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
