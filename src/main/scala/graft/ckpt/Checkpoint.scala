@@ -38,13 +38,23 @@ object Checkpoint {
       .distinct().collect().map(_.getInt(0)).toSet
   }
 
+  /** The id the NEXT commit will use. Callers stamp audit rows
+    * (run_lineage) with this and append them BEFORE committing: a crash
+    * between the two then loses only a re-appendable audit row of a
+    * failed attempt — the reverse order would mark the partitions done
+    * and permanently skip the audit append on resume.
+    */
+  def nextSnapshotId(spark: SparkSession, root: String): Long =
+    latestSnapshotId(spark, root) + 1
+
   /** Commit a snapshot recording `partsDone` as newly completed.
-    * Returns the new monotonic snapshot id.
+    * Returns the new monotonic snapshot id (single writer per root —
+    * equals what [[nextSnapshotId]] returned just before).
     */
   def commit(spark: SparkSession, root: String, runId: String,
              partsDone: Seq[Int]): Long = {
     import spark.implicits._
-    val next = latestSnapshotId(spark, root) + 1
+    val next = nextSnapshotId(spark, root)
     val row = Seq((next, runId, partsDone, new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("snapshot_id", "run_id", "parts_done", "committed_at")
     row.write.mode("append").parquet(manifestPath(root))

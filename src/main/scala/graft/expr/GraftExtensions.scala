@@ -83,16 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit =
+    // same checked() wrapper as register(): ONE arity-guard
+    // implementation for both registration paths
     GraftExtensions.functions.foreach { case (name, usage, min, max, build) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         info(name, usage),
-        (args: Seq[Expression]) => {
-          if (args.length < min || args.length > max)
-            throw new IllegalArgumentException(
-              s"$name expects ${if (min == max) s"$min" else s"$min to $max"} arguments, " +
-                s"got ${args.length}; usage: $usage")
-          build(args)
-        }))
+        GraftExtensions.checked(name, usage, min, max, build)))
     }
 }

@@ -107,14 +107,22 @@ object IvfCells {
     var j = 0
     while (j < nc) {
       val cj = cents(j)
-      var dot = 0.0
-      var i = 0
-      while (i < n) { dot += v(i) * cj(i); i += 1 }
-      // Spark round(x, 6): BigDecimal HALF_UP at scale 6 (NaN/Inf pass through)
-      val raw = dot / (normV * norms(j))
-      cos(j) =
-        if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
-        else JBigDecimal.valueOf(raw).setScale(6, RoundingMode.HALF_UP).doubleValue()
+      if (cj.length != n) {
+        // ragged centroid (dimension mismatch): no similarity signal —
+        // NaN ranks last, same as the relational twin's null cosine
+        // never winning a probe slot (reading past cj would AIOOBE and
+        // kill the task instead)
+        cos(j) = Double.NaN
+      } else {
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v(i) * cj(i); i += 1 }
+        // Spark round(x, 6): BigDecimal HALF_UP at scale 6 (NaN/Inf pass through)
+        val raw = dot / (normV * norms(j))
+        cos(j) =
+          if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+          else JBigDecimal.valueOf(raw).setScale(6, RoundingMode.HALF_UP).doubleValue()
+      }
       j += 1
     }
     val idx = Array.range(0, nc).sortWith { (a, b) =>

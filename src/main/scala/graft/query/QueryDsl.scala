@@ -38,9 +38,14 @@ object PageSort {
 
 object QueryDsl {
 
-  /** Casefolded substring match (query.py:159-163 `casefold() in`). */
+  /** Casefolded substring match (query.py:159-163 `casefold() in`).
+    * Locale.ROOT, not the JVM default: under e.g. a Turkish default
+    * locale "ISTANBUL".toLowerCase is "ıstanbul" (dotless ı) while the
+    * column side's `lower()` is locale-independent — the two sides must
+    * fold identically or matches silently vanish.
+    */
   private def icontains(c: Column, v: String): Column =
-    lower(c).contains(v.toLowerCase)
+    lower(c).contains(v.toLowerCase(java.util.Locale.ROOT))
 
   /** Compile the query model to one predicate Column (AND of present
     * fields, like clauses_from_query, database/sql_database.py:504-528).
@@ -60,13 +65,20 @@ object QueryDsl {
   }
 
   /** filter_mappings (query.py:89-101): predicate + optional whitelist
-    * semi-join (`keep_references_either`).
+    * semi-join (`keep_references_either`). `broadcastWhitelist = false`
+    * is the fact-sized-whitelist path (plans a shuffled semi join) —
+    * same flag discipline as `DatasetChecks.riViolations`: forcing a
+    * broadcast of a fact table is a driver OOM at the design scale.
     */
   def filterPages(df: DataFrame, q: PageQuery,
-                  urlWhitelist: Option[DataFrame] = None): DataFrame = {
+                  urlWhitelist: Option[DataFrame] = None,
+                  broadcastWhitelist: Boolean = true): DataFrame = {
     val filtered = df.filter(compile(q))
-    urlWhitelist.fold(filtered)(w =>
-      filtered.join(broadcast(w.select(col("url")).distinct()), Seq("url"), "left_semi"))
+    urlWhitelist.fold(filtered) { w =>
+      val keys = w.select(col("url")).distinct()
+      filtered.join(if (broadcastWhitelist) broadcast(keys) else keys,
+        Seq("url"), "left_semi")
+    }
   }
 
   /** Label normalization for same-text matching (query.py:143-144 and its

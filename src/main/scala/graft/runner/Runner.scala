@@ -46,8 +46,17 @@ object Runner {
     val fails = filter(
       array(compiled.map(failStruct): _*),
       x => x.isNotNull)
+    // explode_outer, NOT explode: plain explode triggers
+    // InferFiltersFromGenerate, which duplicates the ENTIRE compiled
+    // suite (interpreted — ArrayFilter is CodegenFallback) into a
+    // pushed Filter below the Generate, evaluating every constraint
+    // twice per input row on the engine's hottest path (the same trap
+    // Sim/Ann document); the outer-generate's null row for passing
+    // input is dropped by the isNotNull filter, so results are
+    // identical.
     pages
-      .select((col("part") +: keyCols.map(col)) :+ explode(fails).as("f"): _*)
+      .select((col("part") +: keyCols.map(col)) :+ explode_outer(fails).as("f"): _*)
+      .filter(col("f").isNotNull)
       .select(
         (col("part") +: keyCols.map(col)) ++ Seq(
           col("f.check_name"), col("f.detail"), col("f.stage")): _*)

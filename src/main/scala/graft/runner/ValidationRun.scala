@@ -76,17 +76,22 @@ object ValidationRun {
       finally digViol.unpersist()
 
       val rows = batch.count()
-      val snap = Checkpoint.commit(spark, root, runId, parts)
 
       // per-partition lineage rows (north rule): which run + snapshot
       // processed which partition, with its row count — the audit trail a
-      // resumed run extends
-      import spark.implicits._
+      // resumed run extends. Appended BEFORE the checkpoint commit: a
+      // crash between the two then loses a re-appendable audit row of a
+      // failed attempt, not (as commit-first would) the audit trail of a
+      // batch the manifest says is done.
+      val snap = Checkpoint.nextSnapshotId(spark, root)
       val lineage = batch.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
         .withColumn("run_id", lit(runId))
         .withColumn("snapshot_id", lit(snap))
         .withColumn("committed_at", current_timestamp())
       Tables.appendWithSchemaCheck(spark, lineage, lineagePath(root))
+      val committed = Checkpoint.commit(spark, root, runId, parts)
+      require(committed == snap,
+        s"concurrent checkpoint writer detected ($committed != $snap)")
 
       Report(runId, snap, parts, rows)
     } finally batch.unpersist()
@@ -144,7 +149,14 @@ object ValidationRun {
       .withColumn("run_id", lit(runId))
     Tables.appendWithSchemaCheck(spark, urlViol, s"$root/url_violations")
 
-    val pc = valid.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+    // count over TODO (conditional sum), not over `valid`: a partition
+    // whose urls are ALL malformed would otherwise have no part-count
+    // row, and the url checks would be silently ABSENT from its verdict
+    // grid instead of present as passed-with-0-checked-rows — the dense
+    // per-(part, check) grid is the contract (DatasetChecks scaladoc)
+    val pc = todo.groupBy(col("part")).agg(
+      sum(when(graft.constraints.Constraints.validUrl, 1L).otherwise(0L))
+        .as("row_count"))
     val verd = Runner.verdicts(todo, suite)
       .unionByName(graft.checks.DatasetChecks.verdictsFromViolations(
         spark.read.parquet(s"$root/url_violations")
@@ -170,12 +182,16 @@ object ValidationRun {
     finally digViol.unpersist()
 
     val rows = todo.count()
-    val snap = Checkpoint.commit(spark, root, runId, parts)
+    // lineage BEFORE commit — see run() for the crash-window rationale
+    val snap = Checkpoint.nextSnapshotId(spark, root)
     val lineageRows = todo.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
       .withColumn("run_id", lit(runId))
       .withColumn("snapshot_id", lit(snap))
       .withColumn("committed_at", current_timestamp())
     Tables.appendWithSchemaCheck(spark, lineageRows, lineagePath(root))
+    val committed = Checkpoint.commit(spark, root, runId, parts)
+    require(committed == snap,
+      s"concurrent checkpoint writer detected ($committed != $snap)")
 
     Report(runId, snap, parts, rows)
   }

@@ -26,6 +26,19 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Rounded cosine with NaN (zero-norm vector) mapped to NULL: a NaN
+    * similarity carries no information, but under Spark's ordering NaN
+    * is GREATER than every value — an all-zeros embedding would rank
+    * first in every top-k and pass every `cos >= threshold` filter.
+    * NULL instead ranks last under `desc` (desc_nulls_last default) and
+    * three-valued `>=` drops it from threshold filters. Same policy as
+    * [[graft.expr.IvfCells]]' NaN-ranks-last probe ordering.
+    */
+  private def cosScore(a: Column, b: Column): Column = {
+    val c = round(cosine(a, b), 6)
+    when(!isnan(c), c)
+  }
+
   /** Brute-force cosine top-k: for each query vector, rank the whole
     * corpus. Ordering uses the ROUNDED cosine + id tiebreak so results
     * are stable across engines and runs.
@@ -38,7 +51,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        cosScore(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -57,7 +70,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        cosScore(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -124,7 +137,7 @@ object Ann {
       .join(vecs.select(col("id").as("id_1"), col("v").as("v_1")), "id_1")
       .join(vecs.select(col("id").as("id_2"), col("v").as("v_2")), "id_2")
       .select(col("id_1"), col("id_2"),
-        round(cosine(col("v_1"), col("v_2")), 6).as("cos"))
+        cosScore(col("v_1"), col("v_2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -238,7 +251,7 @@ object Ann {
     val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        cosScore(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -258,7 +271,7 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        cosScore(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -170,8 +170,19 @@ object Sim {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 8, rows: Int = 2,
                       threshold: Double = 0.2): DataFrame = {
+    require(rows >= 1 && k % rows == 0,
+      s"rows ($rows) must divide k ($k): a remainder silently drops " +
+        "trailing signature elements, and rows > k bands NOTHING (empty result)")
     val nBands = k / rows
+    // docs with zero shingles (< n tokens) carry NO similarity signal and
+    // must not band: their all-null signatures would collapse onto ONE
+    // md5("") key per band (concat_ws skips nulls) — every such doc
+    // pairing with every other, m(m-1)/2 candidates with jaccard 0/0 =
+    // NaN, and NaN >= threshold is TRUE under Spark's NaN ordering. The
+    // DuckDB oracle's `||` null-propagates its band keys, so dropping
+    // them is also what keeps the two engines identical.
     val base = shingled(docs, idCol, textCol, n)
+      .filter(size(col("shs")) > 0)
       .select(col("id"), col("shs"), minhashArray(col("shs"), k).as("__mh"))
       .select(col("id"), col("shs"), struct(
         (1 to k).map(i => element_at(col("__mh"), i).as(s"mh_$i")): _*).as("sig"))
