@@ -36,7 +36,8 @@ object SparkEntry {
     df.filter(Constraints.validUrl)
 
   private val validUrlWhere =
-    "url IS NOT NULL AND length(url) > 0 AND regexp_matches(url, '^https?://[a-z0-9.-]+(/[^ ]*)?$')"
+    "url IS NOT NULL AND length(url) > 0 AND " +
+      s"regexp_matches(url, '${Constraints.UrlPattern}')" // ONE pattern definition
 
   /** Deterministic dedup order: latest warc_ts wins, doc_id breaks ties
     * (arg-max semantics of process.py:124-127).

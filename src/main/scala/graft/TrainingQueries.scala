@@ -324,10 +324,12 @@ object TrainingQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS BIGINT) AS rank
          |  FROM scored
          |) t WHERE rank <= 5""".stripMargin,
+    // hex of the UTF-8 bytes: Spark hex(binary) and DuckDB hex(varchar)
+    // both emit uppercase hex of the same byte sequence
     "mm_features" ->
       s"""${Derive.duckCte}
-         |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_bytes,
-         |       substr(html, 1, 12) AS head
+         |SELECT doc_id, CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+         |       substr(hex(html), 1, 24) AS head_hex
          |FROM web_pages""".stripMargin,
     // mirrors Multimodal.syntheticPixel/syntheticDims — the decoded-pixel
     // sums equal the generating arithmetic because PNG is lossless

@@ -21,13 +21,26 @@ object Drift {
   def histogram(df: DataFrame, keyExpr: Column): DataFrame =
     df.groupBy(keyExpr.as("key")).agg(count(lit(1)).as("n"))
 
+  /** A NULL key is a real histogram bucket (nullable keyExpr), but SQL
+    * equi-joins never match NULL = NULL — the smoothing branch would
+    * silently replace its true count with the smoothing constant and the
+    * inner-join branch would drop it. Normalize to a string sentinel so
+    * the bucket joins like any other.
+    */
+  private def normKeys(df: DataFrame): DataFrame =
+    df.select(coalesce(col("key").cast("string"), lit("∅NULL")).as("key"),
+      col("n"))
+
   /** KL(p ‖ q) and PSI between two histograms over the SAME key domain.
     * `smoothing` > 0 applies additive smoothing over the union of keys
     * (required when a key can be absent on one side — KL/PSI are
     * undefined at q=0). With smoothing = 0, keys are inner-joined and the
     * caller guarantees shared support.
     */
-  def klPsi(current: DataFrame, baseline: DataFrame, smoothing: Double = 0.0): DataFrame = {
+  def klPsi(currentRaw: DataFrame, baselineRaw: DataFrame,
+            smoothing: Double = 0.0): DataFrame = {
+    val current = normKeys(currentRaw)
+    val baseline = normKeys(baselineRaw)
     val joined =
       if (smoothing > 0.0) {
         val keys = current.select(col("key"))
@@ -64,6 +77,10 @@ object Drift {
     klPsi(current, baseline, smoothing)
       .select(
         lit(name).as("check_name"),
-        (col("psi") <= psiThreshold).as("passed"),
+        // coalesce false: an empty/disjoint histogram makes psi NULL and
+        // `NULL <= t` is NULL — a drift gate filtering on !passed would
+        // then silently pass (the failed-open three-valued trap the
+        // constraint layer documents); an uncomputable divergence FAILS
+        coalesce(col("psi") <= psiThreshold, lit(false)).as("passed"),
         col("kl"), col("psi"))
 }

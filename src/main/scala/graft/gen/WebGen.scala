@@ -39,7 +39,10 @@ object WebGen {
     // url ever actually duplicated. Skew mode additionally makes ~10% of
     // ALL rows share ONE hot url — the pathological dedup key the salted
     // two-phase variant exists for.
-    val urlDoc = when(d % 101 === 13, d - 1000).otherwise(d)
+    // guard d >= 1000: below it, d - 1000 is a negative id no real row
+    // carries, so the "duplicate" built a unique url and the injection
+    // was inert at small n (zero dup pressure for dedup tests)
+    val urlDoc = when(d % 101 === 13 && d >= 1000, d - 1000).otherwise(d)
 
     // domain: skew mode sends every even-hash row to domain 0 (one hot
     // domain holds ~50% of all pages); otherwise uniform over 1000
@@ -58,6 +61,7 @@ object WebGen {
       .otherwise(lit(Derive.WindowStart) + h(seed + 3, d) % Derive.WindowLen)
 
     val lang = when(d % 89 === 7, lit("zz"))
+      .when(d % 91 === 8, lit("")) // empty-string enum violation (Derive twin)
       .otherwise(element_at(array(Derive.LangEnum.map(lit): _*),
         (h(seed + 4, d) % Derive.LangEnum.size).cast("int") + 1))
 

@@ -132,13 +132,17 @@ object Multimodal {
   }
 
   /** Oracle-friendly metadata projection over any binary column: byte
-    * length and a fixed-width head of the payload, decoded as UTF-8.
+    * length and a fixed-width HEX head of the payload. Byte-level on
+    * purpose: decoding arbitrary media bytes as UTF-8 THROWS under
+    * Spark 4's default ANSI coding-error behavior (PNG magic 0x89 is
+    * malformed UTF-8) — a metadata pass over a binary column must never
+    * die on the very bytes it describes (poison-blob discipline).
     */
   def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame =
     df.select(
       col(idCol),
       length(col(binCol)).cast("long").as("n_bytes"),
-      substring(decode(col(binCol), "UTF-8"), 1, 12).as("head"))
+      substring(hex(col(binCol)), 1, 24).as("head_hex"))
 
   // ---------- audio: WAV (RIFF/PCM) via javax.sound.sampled ----------
 

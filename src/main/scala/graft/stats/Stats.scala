@@ -17,36 +17,53 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** Long-format stats: one row per (part, column) with null_rate,
-    * distinct count, min/max (as strings).
+  /** Shared long-format scaffold for [[columnStats]] /
+    * [[columnStatsChecked]]: ONE aggregate over (null count, min, max +
+    * one per-column extra cell), exploded to a
+    * (part, column, null_rate, <cell>, min, max, row_count) row per
+    * column. The two public variants differ only in the extra cell
+    * (distinct count vs sketch-bound boolean) and the column-name field
+    * — a fix to the scaffold (null-or-empty definition, null_rate
+    * rounding) lands in both paths by construction.
     */
-  def columnStats(df: DataFrame, columns: Seq[String], exact: Boolean = false): DataFrame = {
+  private def longStats(df: DataFrame, columns: Seq[String],
+                        extraAgg: String => Seq[Column],
+                        cellOf: String => Column, cellName: String,
+                        colField: String): DataFrame = {
     val aggs: Seq[Column] = columns.flatMap { c =>
-      val distinct =
-        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
       Seq(
         sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"nulls_$c"),
-        distinct.as(s"distinct_$c"),
         min(col(c).cast("string")).as(s"min_$c"),
-        max(col(c).cast("string")).as(s"max_$c"))
+        max(col(c).cast("string")).as(s"max_$c")) ++ extraAgg(c)
     } :+ count(lit(1)).as("row_count")
     val g = df.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
     val entries = array(columns.map(c => struct(
       lit(c).as("column"),
       col(s"nulls_$c").as("null_count"),
-      col(s"distinct_$c").cast("long").as("distinct_count"),
+      cellOf(c).as("cell"),
       coalesce(col(s"min_$c"), lit("NULL")).as("min"),
       coalesce(col(s"max_$c"), lit("NULL")).as("max"))): _*)
     g.select(col("part"), col("row_count"), explode(entries).as("e"))
       .select(
         col("part"),
-        col("e.column").as("column"),
+        col("e.column").as(colField),
         round(col("e.null_count").cast("double") / col("row_count"), 6).as("null_rate"),
-        col("e.distinct_count"),
+        col("e.cell").as(cellName),
         col("e.min").as("min"),
         col("e.max").as("max"),
         col("row_count"))
   }
+
+  /** Long-format stats: one row per (part, column) with null_rate,
+    * distinct count, min/max (as strings).
+    */
+  def columnStats(df: DataFrame, columns: Seq[String], exact: Boolean = false): DataFrame =
+    longStats(df, columns,
+      extraAgg = c => Seq(
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"distinct_$c")),
+      cellOf = c => col(s"distinct_$c").cast("long"),
+      cellName = "distinct_count", colField = "column")
 
   /** HLL++ accuracy verification: per (part, column), the exact stats
     * (null_rate, min, max, row_count) PLUS `distinct_ok` — whether the
@@ -63,33 +80,14 @@ object Stats {
     * [[columnStats]] with its `exact = false` default.
     */
   def columnStatsChecked(df: DataFrame, columns: Seq[String],
-                         rsd: Double = 0.05): DataFrame = {
-    val aggs: Seq[Column] = columns.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"nulls_$c"),
+                         rsd: Double = 0.05): DataFrame =
+    longStats(df, columns,
+      extraAgg = c => Seq(
         approx_count_distinct(col(c), rsd).as(s"hll_$c"),
-        countDistinct(col(c)).as(s"exact_$c"),
-        min(col(c).cast("string")).as(s"min_$c"),
-        max(col(c).cast("string")).as(s"max_$c"))
-    } :+ count(lit(1)).as("row_count")
-    val g = df.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
-    val entries = array(columns.map(c => struct(
-      lit(c).as("column"),
-      col(s"nulls_$c").as("null_count"),
-      (abs(col(s"hll_$c") - col(s"exact_$c")).cast("double") <=
-        lit(3 * rsd) * greatest(col(s"exact_$c"), lit(1L)).cast("double")).as("distinct_ok"),
-      coalesce(col(s"min_$c"), lit("NULL")).as("min"),
-      coalesce(col(s"max_$c"), lit("NULL")).as("max"))): _*)
-    g.select(col("part"), col("row_count"), explode(entries).as("e"))
-      .select(
-        col("part"),
-        col("e.column").as("col_name"),
-        round(col("e.null_count").cast("double") / col("row_count"), 6).as("null_rate"),
-        col("e.distinct_ok"),
-        col("e.min").as("min"),
-        col("e.max").as("max"),
-        col("row_count"))
-  }
+        countDistinct(col(c)).as(s"exact_$c")),
+      cellOf = c => abs(col(s"hll_$c") - col(s"exact_$c")).cast("double") <=
+        lit(3 * rsd) * greatest(col(s"exact_$c"), lit(1L)).cast("double"),
+      cellName = "distinct_ok", colField = "col_name")
 
   /** Production quantile path: per-partition GK sketch
     * (`approx_percentile`, rank error <= 1/accuracy) over a numeric
