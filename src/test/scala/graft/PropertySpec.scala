@@ -85,4 +85,27 @@ object PropertySpec extends Properties("graft") {
         .sameElements(df.collect().map(_.mkString("|")).sorted) &&
         once.filter(col("subject_id") === col("object_id")).count() == 0
     }
+
+  property("GK sketch always lands inside its exact rank window") =
+    Prop.forAll(Gen.nonEmptyListOf(for {
+      part <- Gen.choose(0, 2)
+      v <- Gen.choose(0L, 5000L)
+    } yield (part, v))) { rows =>
+      graft.stats.Stats.quantilesChecked(rows.toDF("part", "len"), col("len"))
+        .collect().forall(_.getBoolean(4))
+    }
+
+  property("hotKeys estimate is exact on mod-aligned duplicates and flags only sampled-hot keys") =
+    Prop.forAll(Gen.choose(4, 40), Gen.choose(1L, 3L)) { (hotN, threshold) =>
+      // key "hot" occupies ids 0..4*hotN-1 (so exactly hotN sampled);
+      // singles occupy ids NOT divisible by 4 (never sampled)
+      val rows = (0L until 4L * hotN).map(i => ("hot", i)) ++
+        Seq(("a", 4L * hotN + 1), ("b", 4L * hotN + 2))
+      val got = Dedup.hotKeys(rows.toDF("k", "id"), col("k"), col("id"),
+          mod = 4, threshold = threshold)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (hotN >= threshold) == got.contains("hot") &&
+        got.get("hot").forall(_ == ((hotN.toLong, 4L * hotN))) &&
+        !got.contains("a") && !got.contains("b")
+    }
 }
