@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   * measures the plan, not JVM startup.
   *
   * Methodology (changed in round 2, noted in BENCH/BASELINE.md):
-  *  - Results are forced with `sum(xxhash64(all columns))`, not
+  *  - Results are forced with `bit_xor(xxhash64(all columns))`, not
   *    `.count()`: a count lets Catalyst prune every column the count
   *    doesn't need, so projection-only queries (digest, t_*, signatures)
   *    would skip the very compute being measured.
@@ -46,9 +46,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a broken query must NOT be published as a near-zero time (the
+    // bench would silently IMPROVE when the suite breaks): failures are
+    // reported loudly and poison the exit code; warm-up failures only
+    // warn (the timed pass is the arbiter)
+    var failed = List.empty[String]
     names.foreach { name => // warm-up pass
       try force(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED $name: $e") }
     }
     spark.catalog.clearCache()
     // best of 2 timed runs per query: the sandbox host has bursty
@@ -58,7 +64,10 @@ object Bench {
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try force(SparkEntry.queries(name)(spark, sfDir))
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] QUERY FAILED $name: $e")
+        }
         val d = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         d
@@ -70,5 +79,9 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

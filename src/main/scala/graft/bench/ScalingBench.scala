@@ -18,21 +18,8 @@ import graft.runner.Runner
   */
 object ScalingBench {
 
-  private def session(cpus: Int): SparkSession = {
-    SparkSession.getActiveSession.foreach(_.stop())
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(cpus: Int): SparkSession =
+    BenchUtil.session(cpus, "graft-scaling")
 
   /** The measured job — the FULL suite per the north-rule metric: all row
     * constraints + per-partition verdict grid + url-uniqueness + lineage
@@ -52,7 +39,7 @@ object ScalingBench {
     locally {
       val valid = pages.filter(Constraints.validUrl)
       // deterministic synthetic lineage: 5/6 of valid urls have a fetch row
-      val lineage = valid.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url")
+      val lineage = BenchUtil.syntheticLineage(valid)
       val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
         (-col("doc_id")).as("negid"))
       val dsViol = DatasetChecks.uniquenessViolations(valid, ord)
@@ -66,10 +53,7 @@ object ScalingBench {
     }
   }
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-  }
+  private def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
 
   private val probeSink = new java.util.concurrent.atomic.AtomicLong()
 
@@ -183,11 +167,11 @@ object ScalingBench {
       val bwCeil = bB / (ratio * bA)
       println(f"[scaling $cA->$cB] rep $i: tN=$tA%.2f t4N=$tB%.2f eff=$eff%.3f " +
         f"cpu_ceiling=$ceil%.3f bw_ceiling=$bwCeil%.3f (bwN=$bA%.0fGB/s bw4N=$bB%.0fGB/s)")
-      (tA, tB, ceil, bwCeil)
+      (tA, tB, ceil, bwCeil, eff)
     }
     val tAs = samples.map(_._1); val tBs = samples.map(_._2)
     val ceils = samples.map(_._3); val bwCeils = samples.map(_._4)
-    val effs = samples.map { case (a, b, _, _) => (n / b) / (ratio * (n / a)) }
+    val effs = samples.map(_._5) // the SAME value each rep printed
     val norms = (effs, ceils).zipped.map(_ / _)
     val mA = median(tAs); val mB = median(tBs)
     val thrA = n / mA; val thrB = n / mB
@@ -228,7 +212,7 @@ object ScalingBench {
          |
          |Generated by `graft.bench.ScalingBench` on ${java.time.Instant.now()}.
          |""".stripMargin
-    Files.createDirectories(Paths.get(outMd).getParent)
+    Option(Paths.get(outMd).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outMd), md,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     println(s"""{"cpusA":$cA,"cpusB":$cB,"thrN":$thrA,"thr4N":$thrB,"efficiency":$eff,"eff_median_paired":${median(effs)},"eff_min":${effs.min},"eff_max":${effs.max},"cpu_ceiling_median":${median(ceils)},"bw_ceiling_median":${median(bwCeils)},"normalized_median":${median(norms)},"parity":$parity,"reps":$reps}""")

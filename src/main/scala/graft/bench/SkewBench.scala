@@ -24,10 +24,7 @@ import graft.gen.WebGen
   */
 object SkewBench {
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-  }
+  private def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
 
   /** Interleaved round-robin timing (measurement hygiene, as in
     * ScalingBench): each round times every strategy ONCE in sequence, so
@@ -54,15 +51,8 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 4000000L
     val outMd = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchUtil.session(32, "graft-skewbench",
+      extraConf = Map("spark.sql.adaptive.skewJoin.enabled" -> "true"))
 
     val dataPath = s"/tmp/graft_skew_pages_$n"
     if (!Files.exists(Paths.get(dataPath)))
@@ -79,7 +69,7 @@ object SkewBench {
     // sort-merge anti join): lineage omits a deterministic 1/6 of urls,
     // the hot url's ~10% of all child rows land on one join key either
     // way — AQE skew-join splits that partition at runtime.
-    val lineage = pages.filter(pmod(xxhash64(col("url")), lit(6)) =!= 5).select("url")
+    val lineage = BenchUtil.syntheticLineage(pages)
     val child = pages.select(col("url"), col("doc_id"))
 
     val strategies: Seq[(String, () => Long)] = Seq(

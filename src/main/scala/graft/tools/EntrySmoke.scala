@@ -23,6 +23,8 @@ object EntrySmoke {
     println(s"[entry-smoke] sql fnv64_hex('hello')=$hex " +
       (if (hex == "0BBDAA8046D830A4") "OK" else "MISMATCH!"))
     spark.stop()
-    if (n <= 0) sys.exit(1)
+    // golden-vector mismatch must poison the exit code too — a script
+    // gating on the smoke would otherwise pass with a broken SQL surface
+    if (n <= 0 || hex != "0BBDAA8046D830A4") sys.exit(1)
   }
 }

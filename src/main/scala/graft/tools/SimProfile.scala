@@ -8,7 +8,11 @@ import graft.sim.Sim
 object SimProfile {
   def time[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
-    println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // Sim operators persist() intermediates; clear between stages so a
+    // later stage never times under the earlier stage's cached blocks
+    org.apache.spark.sql.SparkSession.active.catalog.clearCache()
+    r
   }
 
   def main(args: Array[String]): Unit = {
