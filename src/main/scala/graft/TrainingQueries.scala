@@ -14,6 +14,29 @@ import graft.text.TextOps
   */
 object TrainingQueries {
 
+  /** The default hot-bucket budget, interpolated into the QUALIFY
+    * mirrors below — ONE constant on both engines (BucketBudget).
+    */
+  private val Cap = graft.sim.BucketBudget.DefaultCap
+
+  /** Deterministic boilerplate corpus for the active-cap gate entries:
+    * 40 shared texts over all doc_ids — every LSH band bucket holds
+    * ~|docs|/40 identical-signature members. Mirrored in
+    * [[boilerplateCte]]; keep in lockstep.
+    */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      concat(lit("shared boilerplate navigation text block number "),
+        col("doc_id") % 40, lit(" end")).as("text"))
+
+  private val boilerplateCte: String =
+    """bp AS (
+      |  SELECT doc_id,
+      |    'shared boilerplate navigation text block number ' || (doc_id % 40) || ' end' AS text
+      |  FROM documents
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ===== text analysis =====
     "t_tokens" -> ((s, dir) =>
@@ -35,6 +58,17 @@ object TrainingQueries {
     "sim_minhash_lsh" -> ((s, dir) =>
       Sim.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 3, k = 8, rows = 2, threshold = 0.2)),
+    // hot-bucket budget, ACTIVE: a planted boilerplate corpus (40 shared
+    // texts) makes every band bucket oversized at cap=2, so the capped
+    // pair semantics AND the loud truncation channel are both
+    // oracle-checked (QUALIFY row_number / HAVING count mirrors)
+    "sim_lsh_budget" -> ((s, dir) =>
+      Sim.minhashLshPairs(boilerplateDocs(s, dir),
+        "doc_id", "text", n = 3, k = 8, rows = 2, threshold = 0.2,
+        bucketCap = 2)),
+    "sim_lsh_truncation" -> ((s, dir) =>
+      Sim.minhashLshTruncation(boilerplateDocs(s, dir),
+        "doc_id", "text", n = 3, k = 8, rows = 2, bucketCap = 2)),
     "sim_simhash" -> ((s, dir) =>
       Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "sim_simhash_pairs" -> ((s, dir) =>
@@ -98,11 +132,14 @@ object TrainingQueries {
 
   // ---------- DuckDB oracle SQL ----------
 
-  /** Tokens CTE shared by the text/sim oracles. */
-  private val toksCte =
-    """toks AS (SELECT doc_id, text,
-      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
-      |FROM documents)""".stripMargin
+  /** Tokens CTE shared by the text/sim oracles (parameterized source so
+    * the boilerplate-corpus entries reuse the identical pipeline).
+    */
+  private def toksCteOver(src: String): String =
+    s"""toks AS (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       |FROM $src)""".stripMargin
+  private val toksCte = toksCteOver("documents")
 
   /** Distinct word-3-gram shingles CTE (builds on toks). */
   private val shinglesCte =
@@ -127,6 +164,31 @@ object TrainingQueries {
 
   private val minhashCols: Seq[String] =
     (1 to 8).map(i => s"list_aggregate(list_transform(shs, s -> md5('$i:' || s)), 'min') AS mh_$i")
+
+  /** MinHash-LSH pair oracle, parameterized by input CTEs and the
+    * hot-bucket cap — the QUALIFY row_number mirror of
+    * [[graft.sim.BucketBudget.cap]] (LOCKSTEP with Sim.minhashLshPairs'
+    * capped banding: same partition key, same ORDER BY id rule).
+    */
+  private def minhashLshOracleSql(srcCtes: String, cap: Int): String =
+    s"""WITH $srcCtes,
+       |sig AS (SELECT doc_id AS id, shs, ${minhashCols.mkString(",\n  ")} FROM sh),
+       |bands AS (SELECT id, shs, j.band,
+       |    CASE j.band WHEN 0 THEN md5(mh_1 || '|' || mh_2)
+       |                WHEN 1 THEN md5(mh_3 || '|' || mh_4)
+       |                WHEN 2 THEN md5(mh_5 || '|' || mh_6)
+       |                ELSE md5(mh_7 || '|' || mh_8) END AS bkey
+       |  FROM sig, (VALUES (0),(1),(2),(3)) j(band)
+       |  QUALIFY row_number() OVER (PARTITION BY j.band, bkey ORDER BY id) <= $cap),
+       |cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.shs AS shs_1, b.shs AS shs_2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+       |SELECT * FROM (
+       |  SELECT id_1, id_2,
+       |    round(len(list_intersect(shs_1, shs_2)) * 1.0
+       |      / len(list_distinct(list_concat(shs_1, shs_2))), 6) AS jac
+       |  FROM cand
+       |) t WHERE jac >= 0.2""".stripMargin
 
   private val simhashSelect: String = {
     val v = md5Int("tok", 15)
@@ -173,7 +235,8 @@ object TrainingQueries {
        |  FROM mdots GROUP BY vec_id, j // 8),
        |mkeys AS (SELECT vec_id, t * 8 + p.j AS probe,
        |    bucket & ~(CAST(1 AS BIGINT) << p.j) AS key
-       |  FROM tbuckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j))""".stripMargin
+       |  FROM tbuckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j)
+       |  QUALIFY row_number() OVER (PARTITION BY probe, key ORDER BY vec_id) <= ${graft.sim.BucketBudget.DefaultCap})""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -216,24 +279,23 @@ object TrainingQueries {
       s"""WITH $toksCte, $shinglesCte
          |SELECT doc_id AS id, ${minhashCols.mkString(",\n  ")}
          |FROM sh""".stripMargin,
-    "sim_minhash_lsh" ->
-      s"""WITH $toksCte, $shinglesCte,
-         |sig AS (SELECT doc_id AS id, shs, ${minhashCols.mkString(",\n  ")} FROM sh),
-         |bands AS (SELECT id, shs, j.band,
+    "sim_minhash_lsh" -> minhashLshOracleSql(s"$toksCte, $shinglesCte", Cap),
+    "sim_lsh_budget" -> minhashLshOracleSql(
+      s"$boilerplateCte,\n${toksCteOver("bp")},\n$shinglesCte", 2),
+    "sim_lsh_truncation" ->
+      s"""WITH $boilerplateCte,
+         |${toksCteOver("bp")},
+         |$shinglesCte,
+         |sig AS (SELECT doc_id AS id, ${minhashCols.mkString(",\n  ")} FROM sh),
+         |bands AS (SELECT id, j.band,
          |    CASE j.band WHEN 0 THEN md5(mh_1 || '|' || mh_2)
          |                WHEN 1 THEN md5(mh_3 || '|' || mh_4)
          |                WHEN 2 THEN md5(mh_5 || '|' || mh_6)
          |                ELSE md5(mh_7 || '|' || mh_8) END AS bkey
-         |  FROM sig, (VALUES (0),(1),(2),(3)) j(band)),
-         |cand AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.shs AS shs_1, b.shs AS shs_2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
-         |SELECT * FROM (
-         |  SELECT id_1, id_2,
-         |    round(len(list_intersect(shs_1, shs_2)) * 1.0
-         |      / len(list_distinct(list_concat(shs_1, shs_2))), 6) AS jac
-         |  FROM cand
-         |) t WHERE jac >= 0.2""".stripMargin,
+         |  FROM sig, (VALUES (0),(1),(2),(3)) j(band))
+         |SELECT band, bkey, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(*) - 2 AS BIGINT) AS dropped
+         |FROM bands GROUP BY band, bkey HAVING count(*) > 2""".stripMargin,
     "sim_simhash" ->
       s"""WITH $toksCte,
          |$simhashSelect
@@ -243,7 +305,8 @@ object TrainingQueries {
          |$simhashSelect,
          |bands AS (SELECT id, simhash, j.band,
          |    (simhash >> (j.band * ${Sim.SimhashBandBits})) & ${(1L << Sim.SimhashBandBits) - 1} AS bkey
-         |  FROM sim, (VALUES (0),(1),(2),(3)) j(band))
+         |  FROM sim, (VALUES (0),(1),(2),(3)) j(band)
+         |  QUALIFY row_number() OVER (PARTITION BY j.band, bkey ORDER BY id) <= $Cap)
          |SELECT DISTINCT a.id AS id_1, b.id AS id_2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b
@@ -264,7 +327,8 @@ object TrainingQueries {
       s"""WITH $embCte,
          |$bucketsCte,
          |keys AS (SELECT vec_id, j, bucket & ~(CAST(1 AS BIGINT) << j) AS key
-         |  FROM buckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j)),
+         |  FROM buckets, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) p(j)
+         |  QUALIFY row_number() OVER (PARTITION BY j, key ORDER BY vec_id) <= $Cap),
          |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
          |  FROM keys a JOIN keys b ON a.j = b.j AND a.key = b.key AND a.vec_id < b.vec_id)
          |SELECT * FROM (

@@ -33,6 +33,8 @@ object BenchUtil {
       .appName(s"$appName-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", adaptive.toString)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold",
+        graft.sim.BucketBudget.DefaultCap.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val s = extraConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()

@@ -104,7 +104,8 @@ object Ann {
     */
   def lshNearDupPairsMulti(corpus: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double, nPlanes: Int = 8,
-                           nTables: Int = 3): DataFrame = {
+                           nTables: Int = 3,
+                           bucketCap: Int = BucketBudget.DefaultCap): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__buckets",
         graft.expr.LshBuckets.lshBuckets(col("v"), dim, nPlanes, nTables))
@@ -120,13 +121,19 @@ object Ann {
     // which inlines the generator (and the lshBucket expression under it)
     // into a pre-Project Filter — the 3×-evaluation trap
     // probe id = t*nPlanes + j, so keys from different tables never meet
-    val keys = c.select(col("id"),
-      explode_outer(array((for (t <- 0 until nTables; j <- 0 until nPlanes) yield {
-        struct(lit(t * nPlanes + j).as("probe"),
-          col(s"bucket_$t").bitwiseAND(lit(~(1L << j))).as("key"))
-      }): _*)).as("pk"))
+    // hot-bucket candidate budget (BucketBudget): at most bucketCap
+    // members per (probe, key) enter the self-join — the degenerate
+    // corpus (millions of identical/near-zero vectors in one bucket)
+    // cannot go quadratic inside a key
+    val keys = BucketBudget.cap(
+      c.select(col("id"),
+        explode_outer(array((for (t <- 0 until nTables; j <- 0 until nPlanes) yield {
+          struct(lit(t * nPlanes + j).as("probe"),
+            col(s"bucket_$t").bitwiseAND(lit(~(1L << j))).as("key"))
+        }): _*)).as("pk"))
       .filter(col("pk").isNotNull)
-      .select(col("id"), col("pk.probe"), col("pk.key"))
+      .select(col("id"), col("pk.probe"), col("pk.key")),
+      Seq("probe", "key"), "id", bucketCap)
     val candidates = keys.as("a").join(keys.as("b"),
         col("a.probe") === col("b.probe") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

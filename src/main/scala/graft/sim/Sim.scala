@@ -162,40 +162,60 @@ object Sim {
       .select(col("id") +:
         (1 to k).map(i => element_at(col("__mh"), i).as(s"mh_$i")): _*)
 
-  /** LSH candidate pairs + exact-jaccard verification. Bands of `rows`
-    * signature elements; band key = md5 of the concatenation. Pairs
-    * agreeing on ≥1 band meet in the band-keyed self-join; the carried
-    * shingle arrays verify true Jaccard row-locally.
+  /** (id, shs, sig) base for the MinHash LSH pipeline: docs with zero
+    * shingles (< n tokens) carry NO similarity signal and must not band —
+    * their all-null signatures would collapse onto ONE md5("") key per
+    * band (concat_ws skips nulls), every such doc pairing with every
+    * other, m(m-1)/2 candidates with jaccard 0/0 = NaN, and
+    * NaN >= threshold is TRUE under Spark's NaN ordering. The DuckDB
+    * oracle's `||` null-propagates its band keys, so dropping them is
+    * also what keeps the two engines identical.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, k: Int = 8, rows: Int = 2,
-                      threshold: Double = 0.2): DataFrame = {
-    require(rows >= 1 && k % rows == 0,
-      s"rows ($rows) must divide k ($k): a remainder silently drops " +
-        "trailing signature elements, and rows > k bands NOTHING (empty result)")
-    val nBands = k / rows
-    // docs with zero shingles (< n tokens) carry NO similarity signal and
-    // must not band: their all-null signatures would collapse onto ONE
-    // md5("") key per band (concat_ws skips nulls) — every such doc
-    // pairing with every other, m(m-1)/2 candidates with jaccard 0/0 =
-    // NaN, and NaN >= threshold is TRUE under Spark's NaN ordering. The
-    // DuckDB oracle's `||` null-propagates its band keys, so dropping
-    // them is also what keeps the two engines identical.
-    val base = shingled(docs, idCol, textCol, n)
+  private def minhashSigBase(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, k: Int): DataFrame =
+    shingled(docs, idCol, textCol, n)
       .filter(size(col("shs")) > 0)
       .select(col("id"), col("shs"), minhashArray(col("shs"), k).as("__mh"))
       .select(col("id"), col("shs"), struct(
         (1 to k).map(i => element_at(col("__mh"), i).as(s"mh_$i")): _*).as("sig"))
-      .persist() // feeds banding + two shingle-set re-attach joins
-    // band the ids only: the candidate join + distinct shuffles slim
-    // (id, band, bkey) rows — shingle arrays are re-attached afterwards
-    // by two id-keyed joins, never shuffled through the band join
-    val banded = base.select(col("id"),
+
+  /** Slim (id, band, bkey) band table from the sig base: the candidate
+    * join + distinct shuffle only these rows — shingle arrays are
+    * re-attached afterwards by id-keyed joins, never shuffled through
+    * the band join.
+    */
+  private def minhashBanded(base: DataFrame, k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
+    base.select(col("id"),
       explode_outer(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (1 to rows).map(r => col(s"sig.mh_${b * rows + r}")): _*)).as("bkey"))
       }: _*)).as("bd"))
       .select(col("id"), col("bd.band"), col("bd.bkey"))
+  }
+
+  /** LSH candidate pairs + exact-jaccard verification. Bands of `rows`
+    * signature elements; band key = md5 of the concatenation. Pairs
+    * agreeing on ≥1 band meet in the band-keyed self-join; the carried
+    * shingle arrays verify true Jaccard row-locally.
+    *
+    * `bucketCap` is the hot-bucket candidate budget ([[BucketBudget]]):
+    * at most `cap` members per (band, bkey) enter the self-join, so a
+    * boilerplate-degenerate bucket cannot go quadratic. Run
+    * [[minhashLshTruncation]] alongside to observe what (if anything)
+    * was truncated.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 8, rows: Int = 2,
+                      threshold: Double = 0.2,
+                      bucketCap: Int = BucketBudget.DefaultCap): DataFrame = {
+    require(rows >= 1 && k % rows == 0,
+      s"rows ($rows) must divide k ($k): a remainder silently drops " +
+        "trailing signature elements, and rows > k bands NOTHING (empty result)")
+    val base = minhashSigBase(docs, idCol, textCol, n, k)
+      .persist() // feeds banding + two shingle-set re-attach joins
+    val banded = BucketBudget.cap(
+      minhashBanded(base, k, rows), Seq("band", "bkey"), "id", bucketCap)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -208,6 +228,20 @@ object Sim {
       .select(col("id_1"), col("id_2"),
         round(jaccard(col("shs_1"), col("shs_2")), 6).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** The loud truncation channel for [[minhashLshPairs]]: one row per
+    * (band, bkey) bucket larger than `bucketCap` — (band, bkey, n,
+    * dropped). Empty output = the cap was inactive and the pair result
+    * equals the uncapped semantics exactly.
+    */
+  def minhashLshTruncation(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, k: Int = 8, rows: Int = 2,
+                           bucketCap: Int = BucketBudget.DefaultCap): DataFrame = {
+    require(rows >= 1 && k % rows == 0, s"rows ($rows) must divide k ($k)")
+    BucketBudget.truncationReport(
+      minhashBanded(minhashSigBase(docs, idCol, textCol, n, k), k, rows),
+      Seq("band", "bkey"), bucketCap)
   }
 
   // ===== SimHash =====
@@ -262,15 +296,19 @@ object Sim {
   /** Near-dup pairs by Hamming distance ≤ `maxHamming`, candidates via
     * 15-bit band LSH on the 60-bit simhash: pairs must agree on one of
     * the 4 bands, which pigeonhole-guarantees every pair with
-    * hamming ≤ 3 is a candidate (SimhashBands - 1).
+    * hamming ≤ 3 is a candidate (SimhashBands - 1). `bucketCap` bounds
+    * candidates per (band, bkey) bucket ([[BucketBudget]]).
     */
-  def simhashPairs(sims: DataFrame, maxHamming: Int = SimhashBands - 1): DataFrame = {
+  def simhashPairs(sims: DataFrame, maxHamming: Int = SimhashBands - 1,
+                   bucketCap: Int = BucketBudget.DefaultCap): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
-    val banded = sims.select(col("id"), col("simhash"),
-      explode(array((0 until SimhashBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bkey"))): _*)).as("bd"))
-      .select(col("id"), col("simhash"), col("bd.band"), col("bd.bkey"))
+    val banded = BucketBudget.cap(
+      sims.select(col("id"), col("simhash"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bkey"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"), col("bd.band"), col("bd.bkey")),
+      Seq("band", "bkey"), "id", bucketCap)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))

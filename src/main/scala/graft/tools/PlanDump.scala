@@ -16,6 +16,8 @@ object PlanDump {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.windowGroupLimitThreshold",
+        graft.sim.BucketBudget.DefaultCap.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -155,13 +155,41 @@ class PlanSpec extends SparkSpecBase {
     // oracles, and every candidate join here must be a band/bucket-keyed
     // equi join
     for (name <- Seq("sim_minhash_lsh", "sim_simhash_pairs", "emb_neardup",
-        "emb_neardup_multi", "emb_ivf_topk")) {
+        "emb_neardup_multi", "emb_ivf_topk", "sim_lsh_budget")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in $name:\n$p")
     }
     assert(!SparkEntry.queries.contains("sim_ngram_pairs"),
       "all-pairs ngram baseline must stay demoted to a test oracle")
+  }
+
+  test("LSH hot-bucket budget collapses map-side: partial WindowGroupLimit below the exchange") {
+    // BucketBudget.cap's row_number<=cap must rewrite to the two-phase
+    // WindowGroupLimit (needs windowGroupLimitThreshold >= DefaultCap,
+    // set in every session builder): the PARTIAL node runs before the
+    // window's exchange, so each map task forwards at most cap rows per
+    // (band,bkey) — a degenerate bucket is truncated before it moves,
+    // not after it funnels into one window task.
+    for (name <- Seq("sim_minhash_lsh", "sim_simhash_pairs",
+        "emb_neardup", "emb_neardup_multi")) {
+      val p = planOf(name)
+      assert(p.contains("WindowGroupLimit"), s"$name lost the group-limit rewrite:\n$p")
+      assert(p.contains(", Partial"), s"$name has no MAP-SIDE partial group limit:\n$p")
+      assert(p.contains(graft.sim.BucketBudget.DefaultCap.toString),
+        s"$name not capped at DefaultCap:\n$p")
+      // tree prints parent-first: Final above the Exchange above Partial
+      val exch = p.indexOf("Exchange")
+      assert(exch >= 0 && p.indexOf(", Partial", exch) > exch,
+        s"$name partial group limit must sit BELOW the exchange:\n$p")
+    }
+  }
+
+  test("truncation report partially aggregates before its single shuffle") {
+    val p = planOf("sim_lsh_truncation")
+    assert(p.contains("partial_count"), s"truncation count must map-side combine:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"truncation report is one count aggregate — one shuffle:\n$p")
   }
 
   test("IVF search broadcasts the probe side; the corpus is never exchanged pre-join") {

@@ -14,6 +14,12 @@ object SparkSpecBase {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // let row_number<=cap rewrite to WindowGroupLimit up to the LSH
+      // hot-bucket budget (BucketBudget.DefaultCap) — the map-side
+      // partial group-limit is what keeps a degenerate bucket from
+      // funnelling all its rows into one window task
+      .config("spark.sql.optimizer.windowGroupLimitThreshold",
+        graft.sim.BucketBudget.DefaultCap.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
