@@ -339,6 +339,68 @@ object MappingQueries {
         when(rel.startsWith("/"),
           concat(lit("https://ex"), col("doc_id") % 7, lit(".org"), rel))
           .otherwise(col("url")).as("url_fixed"))
+    }),
+
+    // default propagation from set-level metadata (api.py:681-693, the
+    // 21 PROPAGATABLE slots constants.py:81-102): fill-if-missing, a
+    // broadcast-free coalesce against literals
+    "f_propagate" -> ((s, dir) =>
+      graft.io.Formatter.propagateDefaults(Derive.mappings(s, dir), Map(
+        "mapping_date" -> "2026-01-01",
+        "mapping_tool" -> "tool-unknown",
+        "author_id" -> "orcid:0000-0000"))
+        .select("mapping_id", "mapping_date", "mapping_tool", "author_id")),
+
+    // extension slots: declared extra columns cast by their XSD-ish type
+    // hint, incl. the CURIE pseudo-type's prefix-map parse
+    // (api.py:734-754, api.py:818-867) — known prefixes expand, unknown
+    // prefixes and colon-free values pass through
+    "f_slots" -> ((s, dir) => {
+      val d = col("doc_id")
+      val raw = s.read.parquet(s"$dir/documents.parquet").select(
+        d.as("mapping_id"),
+        ((d * 13) % 100).cast("string").as("ext_score"),
+        concat(lit("2026-02-"), lpad((d % 28 + 1).cast("string"), 2, "0"))
+          .as("ext_seen"),
+        when(d % 3 === 0, concat(lit("wd:Q"), d % 1000))
+          .when(d % 3 === 1, concat(lit("nope:X"), d))
+          .otherwise(lit("plain-ref")).as("ext_ref"))
+      val typed = graft.schema.ExtensionSlots.applySlots(raw, Seq(
+        graft.schema.ExtensionSlots.Slot("ext_score", "int"),
+        graft.schema.ExtensionSlots.Slot("ext_seen", "date"),
+        graft.schema.ExtensionSlots.Slot("ext_ref", "curie")))
+      // DATE can't cross the gate (pandas reads spark DATE as date,
+      // duckdb's as Timestamp — isoformat diverges), so prove the cast
+      // via CALENDAR arithmetic rendered back to string: +7 days rolls
+      // over the Feb month end, which no lexical pass-through satisfies
+      typed.select(col("mapping_id"), col("ext_score"),
+        date_add(col("ext_seen"), 7).cast("string").as("ext_seen_plus7"),
+        col("ext_ref"))
+    }),
+
+    // reference-faithful two-channel merge (process.py:987-989): only
+    // multi-member triples are rewritten into the aggregate schema; lone
+    // curated rows pass through UNCHANGED (agg_merge_cur gates the
+    // divergent aggregate-singles form; this entry gates keep-singles)
+    "agg_merge_cur2" -> ((s, dir) => {
+      val m = Derive.mappings(s, dir).select(
+        col("mapping_id"),
+        concat(lit("ex0:grp/"), col("mapping_id") % 12).as("subject_id"),
+        col("predicate_id"), col("predicate_modifier"),
+        concat(lit("wd:Q"), col("mapping_id") % 10).as("object_id"),
+        col("justification"), col("author_id"), col("confidence"))
+      val (merged, singles) = Curate.mergeCurationsKeepSingles(m)
+      merged.select(
+        lit("merged").as("channel"), lit(null).cast("long").as("mapping_id"),
+        col("subject_id"), col("predicate_id"), col("object_id"),
+        col("predicate_modifier"), col("authors"), col("confidence"),
+        col("n_members"), col("derived_from"))
+        .unionByName(singles.select(
+          lit("single").as("channel"), col("mapping_id"),
+          col("subject_id"), col("predicate_id"), col("object_id"),
+          col("predicate_modifier"), col("author_id").as("authors"),
+          col("confidence"), lit(1L).as("n_members"),
+          lit(null).cast("string").as("derived_from")))
     })
   )
 
@@ -574,6 +636,55 @@ object MappingQueries {
          |  CASE WHEN regexp_replace(url, '^https?://[a-z0-9.-]+', '') LIKE '/%'
          |       THEN 'https://ex' || (doc_id % 7) || '.org' || regexp_replace(url, '^https?://[a-z0-9.-]+', '')
          |       ELSE url END AS url_fixed
-         |FROM web_pages""".stripMargin
+         |FROM web_pages""".stripMargin,
+    // COALESCE against the same literal map (LOCKSTEP with the
+    // f_propagate defaults above — change both or neither)
+    "f_propagate" ->
+      s"""WITH ${Derive.mappingsCte}
+         |SELECT mapping_id,
+         |  COALESCE(mapping_date, '2026-01-01') AS mapping_date,
+         |  COALESCE(mapping_tool, 'tool-unknown') AS mapping_tool,
+         |  COALESCE(author_id, 'orcid:0000-0000') AS author_id
+         |FROM mappings""".stripMargin,
+    // typed casts mirror applySlots; the curie branch reuses duckExpand
+    // (generated from Canonical.PrefixMap — the same lockstep pair every
+    // canonical oracle uses)
+    "f_slots" ->
+      s"""SELECT doc_id AS mapping_id,
+         |  CAST((doc_id * 13) % 100 AS INT) AS ext_score,
+         |  CAST(CAST('2026-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE) + 7 AS VARCHAR) AS ext_seen_plus7,
+         |  ${duckExpand("(CASE WHEN doc_id % 3 = 0 THEN 'wd:Q' || (doc_id % 1000) " +
+            "WHEN doc_id % 3 = 1 THEN 'nope:X' || doc_id ELSE 'plain-ref' END)")} AS ext_ref
+         |FROM documents""".stripMargin,
+    // keep-singles merge: gn counts each triple group ONCE (window over
+    // the manual channel; NULL modifier groups like Spark's null-safe
+    // key); gn>1 rows take the agg_merge_cur aggregate shape, gn=1 rows
+    // pass through with their original fields
+    "agg_merge_cur2" ->
+      s"""WITH ${Derive.mappingsCte},
+         |v AS (SELECT mapping_id,
+         |        'ex0:grp/' || (mapping_id % 12) AS subject_id,
+         |        predicate_id, predicate_modifier,
+         |        'wd:Q' || (mapping_id % 10) AS object_id,
+         |        justification, author_id, confidence
+         |      FROM mappings),
+         |man AS (SELECT *, count(*) OVER (PARTITION BY subject_id, predicate_id,
+         |          object_id, predicate_modifier) AS gn
+         |        FROM v WHERE justification = 'semapv:ManualMappingCuration')
+         |SELECT 'merged' AS channel, CAST(NULL AS BIGINT) AS mapping_id,
+         |  subject_id, predicate_id, object_id, predicate_modifier,
+         |  array_to_string(list_sort(list_distinct(list(author_id))), '|') AS authors,
+         |  round(CASE WHEN max(confidence) >= 1.0 THEN 1.0
+         |        ELSE 1 - exp(sum(ln(1 - confidence))) END, 6) AS confidence,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  'mapping:' || ${duckTripleHash("subject_id", "predicate_id", "object_id",
+              "COALESCE(predicate_modifier = 'Not', FALSE)")} AS derived_from
+         |FROM man WHERE gn > 1
+         |GROUP BY subject_id, predicate_id, object_id, predicate_modifier
+         |UNION ALL
+         |SELECT 'single', mapping_id, subject_id, predicate_id, object_id,
+         |  predicate_modifier, author_id AS authors, confidence,
+         |  CAST(1 AS BIGINT) AS n_members, CAST(NULL AS VARCHAR) AS derived_from
+         |FROM man WHERE gn = 1""".stripMargin
   )
 }

@@ -62,6 +62,14 @@ object SparkEntry {
         keyCols = Seq("doc_id", "url"))),
     "verdicts" -> ((s, dir) =>
       Runner.verdicts(Derive.webPages(s, dir), Constraints.webtextSuite)),
+    // raw-string ingest stage: per-line type-coercion errors (the
+    // reference's most-hit validator, io.py:894-907) — try_cast
+    // null-on-failure over a string-typed twin of the page table with
+    // injected unparseable rows, incl. an invalid CALENDAR date so the
+    // two engines' cast semantics are pinned beyond lexical shape
+    "violations_coerce" -> ((s, dir) =>
+      Runner.violations(Derive.webPagesRaw(s, dir), Constraints.coercionSuite,
+        keyCols = Seq("doc_id"))),
 
     // ===== dataset-level checks folded into the same shapes =====
     "v_unique" -> ((s, dir) =>
@@ -435,6 +443,21 @@ object SparkEntry {
     "violations" ->
       s"""${Derive.duckCte}
          |SELECT * FROM ($violationsUnion) v""".stripMargin,
+    // TRY_CAST is the DuckDB mirror of Coercible's try_cast (LOCKSTEP
+    // with Constraints.coercionSuite + Derive.duckRawCte)
+    "violations_coerce" ->
+      s"""${Derive.duckRawCte}
+         |SELECT part, doc_id, 'warc_ts_coercible' AS check_name, warc_ts_raw AS detail, 'raw' AS stage
+         |  FROM web_pages_raw WHERE warc_ts_raw IS NOT NULL AND warc_ts_raw <> ''
+         |   AND TRY_CAST(warc_ts_raw AS TIMESTAMP) IS NULL
+         |UNION ALL
+         |SELECT part, doc_id, 'fetch_ms_coercible', fetch_ms_raw, 'raw'
+         |  FROM web_pages_raw WHERE fetch_ms_raw IS NOT NULL AND fetch_ms_raw <> ''
+         |   AND TRY_CAST(fetch_ms_raw AS BIGINT) IS NULL
+         |UNION ALL
+         |SELECT part, doc_id, 'conf_coercible', conf_raw, 'raw'
+         |  FROM web_pages_raw WHERE conf_raw IS NOT NULL AND conf_raw <> ''
+         |   AND TRY_CAST(conf_raw AS DOUBLE) IS NULL""".stripMargin,
     "verdicts" ->
       s"""${Derive.duckCte},
          |v AS ($violationsUnion),

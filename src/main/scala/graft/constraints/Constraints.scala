@@ -151,5 +151,16 @@ object Constraints {
       detail = length(col("text")).cast("string"))
   )
 
+  /** Raw-string ingest coercion suite over Derive.webPagesRaw — the
+    * reference's most-hit validator (per-line pydantic coercion errors,
+    * io.py:894-907): a non-null, non-empty string that try_casts to NULL
+    * is a per-row violation; NULL/empty belong to the required checks,
+    * not here (the applicable gate).
+    */
+  def coercionSuite: Seq[Constraint] = Seq(
+    Coercible("warc_ts_coercible", "warc_ts_raw", "timestamp"),
+    Coercible("fetch_ms_coercible", "fetch_ms_raw", "bigint"),
+    Coercible("conf_coercible", "conf_raw", "double"))
+
   def compile(suite: Seq[Constraint]): Seq[RowConstraint] = suite.map(_.compile)
 }

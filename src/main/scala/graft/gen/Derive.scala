@@ -156,6 +156,74 @@ object Derive {
         .otherwise(lit(null).cast("double")).as("similarity_score"))
   }
 
+  /** Raw-string ingest twin of [[webPages]]: the typed fields arrive as
+    * the strings a crawler hands us, with deterministically injected
+    * unparseable rows — the carrier for the `Coercible` constraint (the
+    * reference's single most-hit validator: per-line pydantic coercion
+    * errors, io.py:894-907 + models.py:94-146). Valid values are built
+    * by pure integer concat (never via float/date formatting) so both
+    * engines derive byte-identical strings; the invalid-calendar-date
+    * injection ('2026-02-30') pins real calendar semantics cross-engine,
+    * not just lexical shape. Mirrored verbatim in [[duckRawCte]] — keep
+    * in lockstep.
+    *
+    * Injection map (mod-arithmetic on doc_id):
+    *   - d % 103 == 9  → warc_ts_raw NULL          (required owns it; NOT a coercion hit)
+    *   - d % 109 == 13 → warc_ts_raw 'ts:<d>'      (unparseable)
+    *   - d % 109 == 40 → warc_ts_raw '2026-02-30 10:00:00' (invalid date)
+    *   - d % 111 == 17 → fetch_ms_raw '<d>ms'      (unparseable bigint)
+    *   - d % 111 == 30 → fetch_ms_raw ''           (empty: not applicable)
+    *   - d % 115 == 2  → conf_raw 'very-high'      (unparseable double)
+    *   - d % 115 == 60 → conf_raw '0.<x>.<x>'      (double dot)
+    */
+  def webPagesRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = col("doc_id")
+    def p2(c: Column): Column = lpad(c.cast("string"), 2, "0")
+    val validTs = concat(lit("2026-0"), d % 3 + 1, lit("-"), p2(d % 28 + 1),
+      lit(" "), p2(d % 24), lit(":"), p2(d % 60), lit(":"), p2((d * 7) % 60))
+    val tsRaw = when(d % 103 === 9, lit(null).cast("string"))
+      .when(d % 109 === 13, concat(lit("ts:"), d))
+      .when(d % 109 === 40, lit("2026-02-30 10:00:00"))
+      .otherwise(validTs)
+    val msRaw = when(d % 111 === 17, concat(d, lit("ms")))
+      .when(d % 111 === 30, lit(""))
+      .otherwise((d * 13).cast("string"))
+    val confRaw = when(d % 115 === 2, lit("very-high"))
+      .when(d % 115 === 60, concat(lit("0."), d % 10, lit("."), d % 10))
+      .otherwise(concat(lit("0."), (d * 7919) % 1000))
+    docs.select(
+      d.as("doc_id"),
+      tsRaw.as("warc_ts_raw"),
+      msRaw.as("fetch_ms_raw"),
+      confRaw.as("conf_raw"),
+      (d % 8).cast("int").as("part"))
+  }
+
+  /** DuckDB CTE computing the identical raw-ingest table (LOCKSTEP with
+    * [[webPagesRaw]] — change both or neither).
+    */
+  val duckRawCte: String =
+    """WITH web_pages_raw AS (
+      |  SELECT
+      |    doc_id,
+      |    CASE WHEN doc_id % 103 = 9 THEN NULL
+      |         WHEN doc_id % 109 = 13 THEN 'ts:' || doc_id
+      |         WHEN doc_id % 109 = 40 THEN '2026-02-30 10:00:00'
+      |         ELSE '2026-0' || (doc_id % 3 + 1) || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+      |           ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+      |           ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+      |           ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') END AS warc_ts_raw,
+      |    CASE WHEN doc_id % 111 = 17 THEN doc_id || 'ms'
+      |         WHEN doc_id % 111 = 30 THEN ''
+      |         ELSE CAST(doc_id * 13 AS VARCHAR) END AS fetch_ms_raw,
+      |    CASE WHEN doc_id % 115 = 2 THEN 'very-high'
+      |         WHEN doc_id % 115 = 60 THEN '0.' || (doc_id % 10) || '.' || (doc_id % 10)
+      |         ELSE '0.' || ((doc_id * 7919) % 1000) END AS conf_raw,
+      |    CAST(doc_id % 8 AS INTEGER) AS part
+      |  FROM documents
+      |)""".stripMargin
+
   /** DuckDB CTE computing the identical mappings table. */
   val mappingsCte: String =
     """mappings AS (
