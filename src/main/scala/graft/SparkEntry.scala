@@ -581,24 +581,27 @@ object SparkEntry {
          |SELECT part, doc_id, url FROM web_pages w
          |WHERE $validUrlWhere
          |  AND NOT EXISTS (SELECT 1 FROM lineage l WHERE l.url = w.url)""".stripMargin,
+    // p/q key normalization is the LOCKSTEP mirror of Drift.normKeys
+    // (COALESCE('k:' || CAST(key AS VARCHAR), '∅NULL')): NULL buckets
+    // join like any other key, and the 'k:' prefix keeps a genuine
+    // sentinel-valued key from colliding with the NULL bucket
     "drift_lang" ->
       s"""${Derive.duckCte},
-         |p AS (SELECT lang AS key, count(*) AS n FROM web_pages
+         |p AS (SELECT COALESCE('k:' || CAST(lang AS VARCHAR), '∅NULL') AS key, count(*) AS n FROM web_pages
          |      WHERE part < 4 AND lang IN ('en','de','fr','es','zh') GROUP BY 1),
-         |q AS (SELECT lang AS key, count(*) AS n FROM web_pages
+         |q AS (SELECT COALESCE('k:' || CAST(lang AS VARCHAR), '∅NULL') AS key, count(*) AS n FROM web_pages
          |      WHERE part >= 4 AND lang IN ('en','de','fr','es','zh') GROUP BY 1),
          |${klPsiOracle(
         "SELECT p.key, CAST(p.n AS DOUBLE) AS c_p, CAST(q.n AS DOUBLE) AS c_q FROM p JOIN q USING (key)")}""".stripMargin,
     "drift_len" ->
       s"""${Derive.duckCte},
-         |p AS (SELECT CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS key, count(*) AS n
+         |p AS (SELECT COALESCE('k:' || CAST(CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS VARCHAR), '∅NULL') AS key, count(*) AS n
          |      FROM web_pages WHERE part < 4 GROUP BY 1),
-         |q AS (SELECT CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS key, count(*) AS n
+         |q AS (SELECT COALESCE('k:' || CAST(CAST(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS VARCHAR), '∅NULL') AS key, count(*) AS n
          |      FROM web_pages WHERE part >= 4 GROUP BY 1),
-         |keys AS (SELECT key FROM p UNION SELECT key FROM q),
          |${klPsiOracle(
-        """SELECT keys.key, COALESCE(p.n, 0) + 0.5 AS c_p, COALESCE(q.n, 0) + 0.5 AS c_q
-          |   FROM keys LEFT JOIN p USING (key) LEFT JOIN q USING (key)""".stripMargin)}""".stripMargin,
+        """SELECT key, COALESCE(p.n, 0) + 0.5 AS c_p, COALESCE(q.n, 0) + 0.5 AS c_q
+          |   FROM p FULL OUTER JOIN q USING (key)""".stripMargin)}""".stripMargin,
     "digest" ->
       s"""${Derive.duckCte}
          |SELECT part, doc_id, url, md5(text) AS text_md5 FROM web_pages""".stripMargin,

@@ -25,10 +25,17 @@ object Drift {
     * equi-joins never match NULL = NULL — the smoothing branch would
     * silently replace its true count with the smoothing constant and the
     * inner-join branch would drop it. Normalize to a string sentinel so
-    * the bucket joins like any other.
+    * the bucket joins like any other. Non-null keys get a 'k:' prefix so
+    * a genuine key VALUE equal to the sentinel can never collide with
+    * the NULL bucket. LOCKSTEP: the drift_lang/drift_len oracles
+    * (SparkEntry) mirror this exact expression as
+    * COALESCE('k:' || CAST(key AS VARCHAR), '∅NULL') — change both or
+    * neither.
     */
   private def normKeys(df: DataFrame): DataFrame =
-    df.select(coalesce(col("key").cast("string"), lit("∅NULL")).as("key"),
+    df.select(
+      coalesce(concat(lit("k:"), col("key").cast("string")), lit("∅NULL"))
+        .as("key"),
       col("n"))
 
   /** KL(p ‖ q) and PSI between two histograms over the SAME key domain.
@@ -43,11 +50,12 @@ object Drift {
     val baseline = normKeys(baselineRaw)
     val joined =
       if (smoothing > 0.0) {
-        val keys = current.select(col("key"))
-          .union(baseline.select(col("key"))).distinct()
-        keys
-          .join(current.withColumnRenamed("n", "n_p"), Seq("key"), "left")
-          .join(baseline.withColumnRenamed("n", "n_q"), Seq("key"), "left")
+        // ONE full-outer join builds the key union directly from the two
+        // (tiny, already-aggregated) histograms — the union+distinct+two-
+        // left-join scaffold this replaces rebuilt the key set with three
+        // extra shuffles for the same rows (r3 bench regression)
+        current.withColumnRenamed("n", "n_p")
+          .join(baseline.withColumnRenamed("n", "n_q"), Seq("key"), "full_outer")
           .select(col("key"),
             (coalesce(col("n_p"), lit(0L)) + smoothing).as("c_p"),
             (coalesce(col("n_q"), lit(0L)) + smoothing).as("c_q"))
@@ -57,8 +65,18 @@ object Drift {
           .select(col("key"), col("c_p").cast("double").as("c_p"),
             col("c_q").cast("double").as("c_q"))
       }
-    val tot = joined.agg(sum(col("c_p")).as("t_p"), sum(col("c_q")).as("t_q"))
-    joined.crossJoin(broadcast(tot))
+    // totals via a window over the (tiny, post-aggregate) joined frame,
+    // NOT a separate agg + crossJoin: a second DataFrame reference to
+    // `joined` re-plans its whole subtree, so the agg/crossJoin form
+    // SCANNED THE INPUT TWICE (both histogram pipelines duplicated under
+    // the totals branch). The single-partition window is safe by the
+    // same contract that makes the join broadcastable: histogram
+    // cardinality is tiny and does not grow with input size.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    joined
+      .select(col("c_p"), col("c_q"),
+        sum(col("c_p")).over(w).as("t_p"),
+        sum(col("c_q")).over(w).as("t_q"))
       .select(
         (col("c_p") / col("t_p")).as("p"),
         (col("c_q") / col("t_q")).as("q"))

@@ -192,6 +192,20 @@ class PlanSpec extends SparkSpecBase {
       s"truncation report is one count aggregate — one shuffle:\n$p")
   }
 
+  test("drift scans each input side ONCE (no duplicated totals subtree, no cross join)") {
+    // the totals used to come from a second reference to the joined
+    // frame (agg + crossJoin), which re-planned BOTH histogram pipelines
+    // including the parquet scans — a 2x input read at scale; totals are
+    // now a window over the tiny post-aggregate frame
+    for (name <- Seq("drift_len", "drift_lang")) {
+      val p = planOf(name)
+      assert("Scan parquet".r.findAllIn(p).size == 2,
+        s"$name must scan each histogram side exactly once:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name totals must not cross-join:\n$p")
+    }
+  }
+
   test("IVF search broadcasts the probe side; the corpus is never exchanged pre-join") {
     val p = planOf("emb_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), s"IVF probe join must broadcast:\n$p")
