@@ -76,10 +76,16 @@ object Bench {
       }.min
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must not publish its near-zero wall time: a stdout
+    // consumer that ignores the exit code would read a silently-IMPROVED
+    // bench when the suite breaks. Failed queries appear as null and are
+    // excluded from total; "failed" lists them explicitly.
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (failed.contains(k)) "null" else v.toString)
+      }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")

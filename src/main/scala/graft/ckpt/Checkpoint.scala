@@ -23,6 +23,17 @@ object Checkpoint {
 
   private def manifestPath(root: String) = s"$root/_snapshots"
 
+  /** The committed-snapshot manifest (empty frame with the manifest
+    * schema when no commit happened yet) — the certification source
+    * audit readers join against (ValidationRun.currentLineage).
+    */
+  def manifest(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    if (Tables.exists(spark, manifestPath(root))) spark.read.parquet(manifestPath(root))
+    else Seq.empty[(Long, String, Seq[Int], java.sql.Timestamp)]
+      .toDF("snapshot_id", "run_id", "parts_done", "committed_at")
+  }
+
   def latestSnapshotId(spark: SparkSession, root: String): Long = {
     if (!Tables.exists(spark, manifestPath(root))) return 0L
     val m = spark.read.parquet(manifestPath(root))

@@ -215,6 +215,24 @@ object ValidationRun {
     Tables.read(spark, verdictsPath(root))
       .dropDuplicates("run_id", "part", "check_name")
 
+  /** Read back the audit trail restricted to COMMITTED attempts.
+    * Lineage rows are appended BEFORE the manifest commit (crash-window
+    * rationale in [[run]]), so a crash between the two leaves orphan
+    * rows whose snapshot_id the retry REUSES — the raw table can hold
+    * duplicate (snapshot_id, part) rows under different run_ids. The
+    * semi join against the manifest's (snapshot_id, run_id) keeps
+    * exactly the attempt each commit certifies, and the key dedup
+    * collapses re-appends of a retry that crashed AFTER its commit.
+    * The manifest is driver-small by contract (one row per commit) —
+    * broadcast.
+    */
+  def currentLineage(spark: SparkSession, root: String): DataFrame =
+    Tables.read(spark, lineagePath(root))
+      .join(broadcast(Checkpoint.manifest(spark, root)
+        .select(col("snapshot_id"), col("run_id")).distinct()),
+        Seq("snapshot_id", "run_id"), "left_semi")
+      .dropDuplicates("snapshot_id", "part")
+
   /** Read back the bucketed pass's url-check violations deduped by
     * idempotence key (run_id, part, doc_id, check_name) — a crashed run
     * re-appends the same keys on retry; readers collapse them, same

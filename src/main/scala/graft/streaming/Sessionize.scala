@@ -21,11 +21,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * events below the watermark before they reach the state function):
   * an event landing inside — or gap-adjacent BELOW — the open session's
   * interval merges into it, extending `start` downward exactly as the
-  * batch oracle's global sort would. An in-horizon event more than
-  * `gap` older than the open session is a disconnected PAST session,
-  * emitted as a singleton (approximation: two such stragglers within
-  * `gap` of each other emit as two singletons where the global sort
-  * would merge them — bounded by the watermark horizon).
+  * batch oracle's global sort would. In-horizon events more than `gap`
+  * older than the open session form a disconnected PAST chain: within a
+  * batch they merge with each other exactly as the oracle's global sort
+  * would (consecutive-straggler merge), and at batch end the chain
+  * merges into the open session iff pairwise-adjacent to its (possibly
+  * downward-extended) start — sound because sorted processing puts all
+  * stragglers before any open-session event, so the final start/last
+  * values are the ones the oracle compares. The residual approximation
+  * is cross-BATCH only: a straggler chain is emitted at batch end, so a
+  * straggler in a LATER batch within `gap` of it emits separately where
+  * the global sort would merge — bounded by the watermark horizon.
   */
 object Sessionize {
 
@@ -52,23 +58,46 @@ object Sessionize {
           } else {
             val sorted = batch.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
+            // disconnected-PAST chain accumulator (see scaladoc): sorted
+            // processing guarantees every straggler precedes every
+            // open-session event, so chain-internal merges here and ONE
+            // adjacency check against the final open interval reproduce
+            // the batch oracle exactly within a batch
+            var past: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
+            def emitPast(): Unit = { past.foreach { p =>
+              closed += Session(userId, new Timestamp(p.start), new Timestamp(p.last), p.n)
+            }; past = None }
+            // merge the past chain into interval `s` iff pairwise-adjacent
+            // (oracle compares the chain's max against the interval's min)
+            def absorbPast(s: SessionState): SessionState = past match {
+              case Some(p) if s.start - p.last <= gapMs =>
+                past = None; SessionState(p.start, s.last, s.n + p.n)
+              case _ => emitPast(); s
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) if t > s.last + gapMs =>
-                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  val full = absorbPast(s)
+                  closed += Session(userId, new Timestamp(full.start), new Timestamp(full.last), full.n)
                   cur = Some(SessionState(t, t, 1))
                 case Some(_) =>
-                  // > gap OLDER than the open session: disconnected past
-                  // session (see scaladoc)
-                  closed += Session(userId, new Timestamp(t), new Timestamp(t), 1L)
+                  past match {
+                    case Some(p) if t <= p.last + gapMs =>
+                      past = Some(SessionState(p.start, t, p.n + 1))
+                    case _ =>
+                      emitPast()
+                      past = Some(SessionState(t, t, 1))
+                  }
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            cur = cur.map(absorbPast)
+            emitPast() // chain not adjacent to the open session (or no open session)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)

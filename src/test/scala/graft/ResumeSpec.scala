@@ -121,6 +121,60 @@ class ResumeSpec extends SparkSpecBase {
     Seq("rs_pages_b", "rs_lineage_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("crash between appends and commit: retry reuses the snapshot id; certified readers never double-count") {
+    // the reference's content-addressed _mutate contract
+    // (database/repo.py:204-218): append-only bookkeeping, idempotence
+    // keys, a crash between steps never double-counts. Simulated crash:
+    // an attempt over parts 4-7 appended PART of its verdict grid and
+    // its lineage rows (stamped with the snapshot id it never committed),
+    // then died — partial parquet + stale manifest.
+    val root = tmp(); val full = tmp()
+    ValidationRun.run(spark, pages, Constraints.webtextSuite, full, "r1")
+    ValidationRun.run(spark, pages.filter(col("part") < 4),
+      Constraints.webtextSuite, root, "r1")
+    val batch = pages.filter(col("part") >= 4)
+    val partialVerd = graft.runner.Runner.verdicts(batch, Constraints.webtextSuite)
+      .filter(col("part") === 5) // only one partition's grid made it out
+      .withColumn("run_id", lit("r2-crashed"))
+    Tables.appendWithSchemaCheck(spark, partialVerd, ValidationRun.verdictsPath(root))
+    val snap = Checkpoint.nextSnapshotId(spark, root)
+    assert(snap == 2L)
+    val crashedLineage = batch.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+      .withColumn("run_id", lit("r2-crashed"))
+      .withColumn("snapshot_id", lit(snap))
+      .withColumn("committed_at", current_timestamp())
+    Tables.appendWithSchemaCheck(spark, crashedLineage, ValidationRun.lineagePath(root))
+
+    // manifest still says only parts 0-3 are done: the retry reprocesses
+    // 4-7 and REUSES snapshot id 2 under its own run id
+    val rep = ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r2")
+    assert(rep.partsProcessed == Seq(4, 5, 6, 7) && rep.snapshotId == 2L)
+
+    // the raw audit table really does hold duplicate (snapshot_id, part)
+    // rows under different run ids — the hazard is live, not hypothetical
+    val raw = spark.read.parquet(ValidationRun.lineagePath(root))
+    assert(raw.groupBy("snapshot_id", "part").count()
+      .filter(col("count") > 1).count() > 0)
+
+    // the certified reader excludes the orphan attempt: manifest-join
+    // keeps only committed (snapshot_id, run_id) pairs, key-dedup
+    // collapses any re-append — per-part counts match the input exactly
+    val lin = ValidationRun.currentLineage(spark, root)
+    assert(lin.groupBy("snapshot_id", "part").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(lin.filter(col("run_id") === "r2-crashed").count() == 0)
+    val want = pages.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = lin.select("part", "row_count")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want, "committed audit counts must equal the input partition counts")
+
+    // verdict outputs: the crashed partial rows carry identical VALUES
+    // (same deterministic grid), so the part/check/counts view equals a
+    // clean full run — no double count, nothing missing
+    assert(verdictSet(root) == verdictSet(full))
+  }
+
   test("re-running a completed root is a no-op") {
     val root = tmp()
     ValidationRun.run(spark, pages, Constraints.webtextSuite, root, "r1")

@@ -63,6 +63,41 @@ class SessionizeSpec extends SparkSpecBase {
       s"late in-horizon event must merge downward, got $got")
   }
 
+  test("disconnected-past stragglers merge: with each other, and into an adjacent open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, mem.toDS(), gapMs = 10 * 60000L,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sessions_stragglers")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // open session for user 11 at [120, 120]
+    mem.addData(Event(11L, ts(120), "a"))
+    q.processAllAvailable()
+    // ONE later batch carrying two disconnected-past stragglers within
+    // gap of each other (80, 85) — the r3 behavior emitted two
+    // singletons; the oracle's global sort merges them into [80, 85]
+    mem.addData(Event(11L, ts(80), "b"), Event(11L, ts(85), "c"))
+    q.processAllAvailable()
+    val afterChain = spark.table("sessions_stragglers").as[Session].collect().toSet
+    assert(afterChain == Set(Session(11L, ts(80), ts(85), 2)),
+      s"straggler chain must merge before emitting, got $afterChain")
+    // a batch whose stragglers END adjacent to the open session: 105 and
+    // 112 chain together, and 112 is within gap of the open start 120 —
+    // the whole chain must absorb INTO the open session (oracle: one
+    // session [105, 120]), not emit separately
+    mem.addData(Event(11L, ts(105), "d"), Event(11L, ts(112), "e"))
+    q.processAllAvailable()
+    // close everything via watermark
+    mem.addData(Event(12L, ts(20 * 60), "tick"))
+    q.processAllAvailable()
+    val all = spark.table("sessions_stragglers").as[Session].collect().toSet
+    q.stop()
+    assert(all == Set(
+      Session(11L, ts(80), ts(85), 2),
+      Session(11L, ts(105), ts(120), 3)),
+      s"adjacent straggler chain must extend the open session, got $all")
+  }
+
   test("stateful sessions match the batch window oracle on closed sessions") {
     val batch = Sessionize.sessionsBatch(spark, spark.createDataset(events), 10 * 60000L)
       .collect().toSet
