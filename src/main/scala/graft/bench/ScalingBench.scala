@@ -53,6 +53,20 @@ object ScalingBench {
     }
   }
 
+  /** Alternative measured job (arg 6 = "neardup"): the capped MinHash
+    * LSH near-dup pipeline — shingle → one-pass signature → banding →
+    * hot-bucket budget (BucketBudget window group-limit, the shuffle the
+    * round-4 cap added) → band self-join → exact-jaccard verify. Run at
+    * both parallelism levels to evidence that the budget machinery
+    * itself scales >= 0.8 and returns the identical pair set (parity).
+    */
+  private def neardupJob(spark: SparkSession, path: String): Array[org.apache.spark.sql.Row] = {
+    val pages = spark.read.parquet(path).select(col("doc_id"), col("text"))
+    graft.sim.Sim.minhashLshPairs(pages, "doc_id", "text",
+      n = 3, k = 8, rows = 2, threshold = 0.2)
+      .select(col("id_1"), col("id_2"), col("jac")).collect()
+  }
+
   private def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
 
   private val probeSink = new java.util.concurrent.atomic.AtomicLong()
@@ -134,8 +148,26 @@ object ScalingBench {
     val reps = if (args.length > 2) args(2).toInt else 5
     val cA = if (args.length > 3) args(3).toInt else 8   // N
     val cB = if (args.length > 4) args(4).toInt else 32  // 4N
+    val job = if (args.length > 5) args(5) else "suite"
     val ratio = cB.toDouble / cA
     val dataPath = s"/tmp/graft_bench_pages_$n"
+    val jobFn: (SparkSession, String) => Array[org.apache.spark.sql.Row] =
+      job match {
+        case "suite" => suiteJob
+        case "neardup" => neardupJob
+        case other => sys.error(s"unknown job '$other' (suite | neardup)")
+      }
+    val jobDesc = job match {
+      case "suite" =>
+        s"""FULL suite: ${Constraints.webtextSuite.size} row constraints ->
+           |verdict grid + url-uniqueness + lineage RI sort-merge anti join +
+           |per-partition column stats""".stripMargin
+      case "neardup" =>
+        """capped MinHash LSH near-dup: shingle -> one-pass signature ->
+          |banding -> hot-bucket budget (WindowGroupLimit, the round-4 cap
+          |shuffle) -> band self-join -> exact-jaccard verify; parity = the
+          |pair set itself""".stripMargin
+    }
 
     // generate once (not timed), partitioned by table partition column
     if (!Files.exists(Paths.get(dataPath))) {
@@ -146,7 +178,7 @@ object ScalingBench {
 
     def timedRun(cpus: Int): Double = {
       val s = session(cpus)
-      val t0 = System.nanoTime(); suiteJob(s, dataPath)
+      val t0 = System.nanoTime(); jobFn(s, dataPath)
       (System.nanoTime() - t0) / 1e9
     }
     // force the bandwidth-probe array init OUTSIDE any timed region
@@ -155,8 +187,8 @@ object ScalingBench {
     probeThr(cA, itersPerTask = 10_000_000L) // JIT-warm both probe loops
     bwProbeThr(cA)
     // warm-up pair + verdict parity capture (untimed)
-    val vA = suiteJob(session(cA), dataPath).map(_.mkString("|")).sorted
-    val vB = suiteJob(session(cB), dataPath).map(_.mkString("|")).sorted
+    val vA = jobFn(session(cA), dataPath).map(_.mkString("|")).sorted
+    val vB = jobFn(session(cB), dataPath).map(_.mkString("|")).sorted
     val parity = vA.sameElements(vB)
 
     val samples = (1 to reps).map { i =>
@@ -179,11 +211,9 @@ object ScalingBench {
 
     val md =
       s"""
-         |## Round-3 re-measurement, local[$cA] -> local[$cB]: interleaved A/B sampling
+         |## Round-4 set ($job job), local[$cA] -> local[$cB]: interleaved A/B sampling
          |
-         |Same job as the headline (FULL suite: ${Constraints.webtextSuite.size} row constraints ->
-         |verdict grid + url-uniqueness + lineage RI sort-merge anti join +
-         |per-partition column stats) over $n WebGen pages, driver heap
+         |Measured job ($jobDesc) over $n WebGen pages, driver heap
          |${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}. Hygiene per the round-2 review: $reps
          |interleaved N<->4N sample pairs (each rep: arithmetic probe @$cA,
          |timed run @$cA, probe @$cB, timed run @$cB; fresh session per run; one
