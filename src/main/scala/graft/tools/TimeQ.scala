@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times individual SparkEntry queries in isolation (warm-up + 2 timed
+  * reps, same force/clearCache discipline as [[graft.Bench]]) with an
+  * explicit windowGroupLimitThreshold, so a suite-context slowdown can
+  * be split into plan effect vs shared-session/host effect.
+  * Usage: runMain graft.tools.TimeQ <sfDir> <wglThreshold> <query...>
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val wgl = args(1)  // windowGroupLimitThreshold
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", wgl)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      graft.Bench.force(graft.SparkEntry.queries(n)(spark, sfDir)) // warm
+      spark.catalog.clearCache()
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.Bench.force(graft.SparkEntry.queries(n)(spark, sfDir))
+        println(f"[timeq] $n wgl=$wgl rep$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
