@@ -231,6 +231,11 @@ object MappingQueries {
       import org.apache.spark.sql.expressions.Window
       val m = Derive.mappings(s, dir)
       SortDslLiterals.map { lit0 =>
+        // ranks are assigned AFTER topK already reduced the input to
+        // <= 20 rows, so the single-partition window is bounded by
+        // construction (the WindowExec WARN it logs is about all of 20
+        // rows; a constant partition key can't silence it — the
+        // EliminateWindowPartitions rule folds literals away)
         val w = Window.orderBy(MappingSort.cols(lit0) :+ col("mapping_id").asc: _*)
         MappingSort.topK(m, lit0, 20)
           .select(lit(lit0).as("sort_name"),

@@ -430,13 +430,21 @@ object SparkEntry {
       |  FROM hh, generate_series(0, 7) g(i)
       |  GROUP BY doc_id, url, h)""".stripMargin
 
-  /** Shared DuckDB fragment: KL + PSI from two histogram CTEs p/q(key, n). */
+  /** Shared DuckDB fragment: KL + PSI from two histogram CTEs p/q(key, n).
+    * LOCKSTEP mirror of Drift.klPsi's algebraic totals — with
+    * p_i = c_p/T_p, q_i = c_q/T_q:
+    *   KL  = Σ c_p·ln(c_p/c_q)/T_p + ln(T_q/T_p)
+    *   PSI = Σ c_p·ln(c_p/c_q)/T_p − Σ c_q·ln(c_p/c_q)/T_q
+    * (PSI's ln(T_q/T_p) cross-term cancels since Σp = Σq = 1). Change
+    * both sides or neither.
+    */
   private def klPsiOracle(joined: String): String =
-    s"""j AS ($joined),
-       |t AS (SELECT sum(c_p) AS t_p, sum(c_q) AS t_q FROM j)
-       |SELECT round(sum((c_p / t_p) * ln((c_p / t_p) / (c_q / t_q))), 6) + 0.0 AS kl,
-       |       round(sum(((c_p / t_p) - (c_q / t_q)) * ln((c_p / t_p) / (c_q / t_q))), 6) + 0.0 AS psi
-       |FROM j, t""".stripMargin
+    s"""j AS ($joined)
+       |SELECT round(sum(c_p * ln(c_p / c_q)) / sum(c_p)
+       |             + ln(sum(c_q) / sum(c_p)), 6) + 0.0 AS kl,
+       |       round(sum(c_p * ln(c_p / c_q)) / sum(c_p)
+       |             - sum(c_q * ln(c_p / c_q)) / sum(c_q), 6) + 0.0 AS psi
+       |FROM j""".stripMargin
 
   def oracleSql: Map[String, String] =
     TrainingQueries.oracleSql ++ MappingQueries.oracleSql ++ Map(

@@ -209,9 +209,12 @@ object ScalingBench {
     val thrA = n / mA; val thrB = n / mB
     val eff = thrB / (ratio * thrA)
 
+    // one stamp for heading + footer: the heading carries it so repeated
+    // sets of the same job/levels never collide as markdown anchors
+    val stamp = java.time.Instant.now()
     val md =
       s"""
-         |## Round-4 set ($job job), local[$cA] -> local[$cB]: interleaved A/B sampling
+         |## Scaling set ($job job) @ $stamp — local[$cA] -> local[$cB]: interleaved A/B sampling
          |
          |Measured job ($jobDesc) over $n WebGen pages, driver heap
          |${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}. Hygiene per the round-2 review: $reps
@@ -240,7 +243,7 @@ object ScalingBench {
          |- verdict parity across parallelism levels: **${if (parity) "IDENTICAL" else "MISMATCH"}**
          |  (${vA.length} verdict rows compared)
          |
-         |Generated by `graft.bench.ScalingBench` on ${java.time.Instant.now()}.
+         |Generated by `graft.bench.ScalingBench` on $stamp.
          |""".stripMargin
     Option(Paths.get(outMd).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outMd), md,

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * aggregation's partial/final shape (process.py:472-568).
   *
   * Scale design: each side is one partial+final count aggregate; the
-  * divergence itself is an aggregate over the joined histograms —
-  * histogram cardinality is tiny (|langs|, |len buckets|), so the join is
-  * a broadcast regardless of input size. Fully distributed; no collect.
+  * divergence is ONE ordinary partial+final aggregate over the joined
+  * histograms (totals folded in algebraically — see [[klPsi]]), so there
+  * is no single-partition stage anywhere and the histogram key domain
+  * may be arbitrarily large (calling [[histogram]] on `url` is slow only
+  * in proportion to its cardinality, never a one-task bottleneck).
+  * Fully distributed; no collect.
   */
 object Drift {
 
@@ -65,26 +68,30 @@ object Drift {
           .select(col("key"), col("c_p").cast("double").as("c_p"),
             col("c_q").cast("double").as("c_q"))
       }
-    // totals via a window over the (tiny, post-aggregate) joined frame,
-    // NOT a separate agg + crossJoin: a second DataFrame reference to
-    // `joined` re-plans its whole subtree, so the agg/crossJoin form
-    // SCANNED THE INPUT TWICE (both histogram pipelines duplicated under
-    // the totals branch). The single-partition window is safe by the
-    // same contract that makes the join broadcastable: histogram
-    // cardinality is tiny and does not grow with input size.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    // Totals folded in algebraically instead of a per-row normalization
+    // pass: with p_i = c_p/T_p and q_i = c_q/T_q,
+    //   KL  = Σ c_p·ln(c_p/c_q) / T_p  +  ln(T_q/T_p)
+    //   PSI = Σ c_p·ln(c_p/c_q) / T_p  −  Σ c_q·ln(c_p/c_q) / T_q
+    // (PSI's ln(T_q/T_p) cross-term cancels because Σp = Σq = 1). One
+    // ordinary partial+final aggregate computes all four sums — no
+    // second totals pass over `joined` (a second DataFrame reference
+    // re-plans its whole subtree and scanned the input twice), no
+    // single-partition window (the previous form's WindowExec was a
+    // one-task bottleneck the moment a caller passed an unbounded key
+    // column), no cardinality contract at all. LOCKSTEP: the
+    // drift_lang/drift_len oracles (SparkEntry.klPsiOracle) mirror this
+    // exact algebra — change both or neither.
     joined
-      .select(col("c_p"), col("c_q"),
-        sum(col("c_p")).over(w).as("t_p"),
-        sum(col("c_q")).over(w).as("t_q"))
-      .select(
-        (col("c_p") / col("t_p")).as("p"),
-        (col("c_q") / col("t_q")).as("q"))
       .agg(
+        sum(col("c_p") * log(col("c_p") / col("c_q"))).as("s_p"),
+        sum(col("c_q") * log(col("c_p") / col("c_q"))).as("s_q"),
+        sum(col("c_p")).as("t_p"),
+        sum(col("c_q")).as("t_q"))
+      .select(
         // + 0.0 normalizes IEEE -0.0 (a tiny negative sum rounding to
         // zero) so engines can't disagree on the zero's sign
-        (round(sum(col("p") * log(col("p") / col("q"))), 6) + 0.0).as("kl"),
-        (round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6) + 0.0).as("psi"))
+        (round(col("s_p") / col("t_p") + log(col("t_q") / col("t_p")), 6) + 0.0).as("kl"),
+        (round(col("s_p") / col("t_p") - col("s_q") / col("t_q"), 6) + 0.0).as("psi"))
   }
 
   /** Drift verdict row: fails when PSI exceeds `psiThreshold`

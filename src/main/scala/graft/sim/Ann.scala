@@ -106,34 +106,19 @@ object Ann {
                            dim: Int, threshold: Double, nPlanes: Int = 8,
                            nTables: Int = 3,
                            bucketCap: Int = BucketBudget.DefaultCap): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("__buckets",
-        graft.expr.LshBuckets.lshBuckets(col("v"), dim, nPlanes, nTables))
-      .withColumns(Map((0 until nTables).map(t =>
-        s"bucket_$t" -> element_at(col("__buckets"), t + 1)): _*))
-      // the bucketed index feeds key-gen + two vector re-attach joins —
-      // three scans of the corpus without this; at scale it is a
-      // materialized index table, persist is the in-session equivalent
-      // (same lifetime contract as Sim.minhashLshPairs: callers
-      // clearCache/unpersist after materializing the result)
+    // the bucketed index feeds key-gen + two vector re-attach joins —
+    // three scans of the corpus without this; at scale it is a
+    // materialized index table, persist is the in-session equivalent
+    // (same lifetime contract as Sim.minhashLshPairs: callers
+    // clearCache/unpersist after materializing the result)
+    val c = bucketedIndex(corpus, idCol, vecCol, dim, nPlanes, nTables)
       .persist()
-    // explode_outer: plain explode triggers InferFiltersFromGenerate,
-    // which inlines the generator (and the lshBucket expression under it)
-    // into a pre-Project Filter — the 3×-evaluation trap
-    // probe id = t*nPlanes + j, so keys from different tables never meet
     // hot-bucket candidate budget (BucketBudget): at most bucketCap
     // members per (probe, key) enter the self-join — the degenerate
     // corpus (millions of identical/near-zero vectors in one bucket)
     // cannot go quadratic inside a key
     val keys = BucketBudget.cap(
-      c.select(col("id"),
-        explode_outer(array((for (t <- 0 until nTables; j <- 0 until nPlanes) yield {
-          struct(lit(t * nPlanes + j).as("probe"),
-            col(s"bucket_$t").bitwiseAND(lit(~(1L << j))).as("key"))
-        }): _*)).as("pk"))
-      .filter(col("pk").isNotNull)
-      .select(col("id"), col("pk.probe"), col("pk.key")),
-      Seq("probe", "key"), "id", bucketCap)
+      probeKeys(c, nPlanes, nTables), Seq("probe", "key"), "id", bucketCap)
     val candidates = keys.as("a").join(keys.as("b"),
         col("a.probe") === col("b.probe") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -147,6 +132,47 @@ object Ann {
         cosScore(col("v_1"), col("v_2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Bucketed index shared by the pair pipeline and its truncation twin:
+    * (id, v, bucket_0 … bucket_{nTables-1}), one LshBuckets expression
+    * evaluation per row.
+    */
+  private def bucketedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, nPlanes: Int, nTables: Int): DataFrame =
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__buckets",
+        graft.expr.LshBuckets.lshBuckets(col("v"), dim, nPlanes, nTables))
+      .withColumns(Map((0 until nTables).map(t =>
+        s"bucket_$t" -> element_at(col("__buckets"), t + 1)): _*))
+
+  /** Multi-probe (probe, key) rows from the bucketed index.
+    * explode_outer: plain explode triggers InferFiltersFromGenerate,
+    * which inlines the generator (and the lshBucket expression under it)
+    * into a pre-Project Filter — the 3×-evaluation trap.
+    * probe id = t*nPlanes + j, so keys from different tables never meet.
+    */
+  private def probeKeys(c: DataFrame, nPlanes: Int, nTables: Int): DataFrame =
+    c.select(col("id"),
+        explode_outer(array((for (t <- 0 until nTables; j <- 0 until nPlanes) yield {
+          struct(lit(t * nPlanes + j).as("probe"),
+            col(s"bucket_$t").bitwiseAND(lit(~(1L << j))).as("key"))
+        }): _*)).as("pk"))
+      .filter(col("pk").isNotNull)
+      .select(col("id"), col("pk.probe"), col("pk.key"))
+
+  /** The loud truncation channel for [[lshNearDupPairsMulti]] (same
+    * contract as Sim.minhashLshTruncation/simhashTruncation): one row
+    * per (probe, key) bucket larger than `bucketCap` — (probe, key, n,
+    * dropped). Empty output = the cap was inactive and the pair result
+    * equals the uncapped semantics exactly.
+    */
+  def lshTruncationReport(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nPlanes: Int = 8, nTables: Int = 3,
+                          bucketCap: Int = BucketBudget.DefaultCap): DataFrame =
+    BucketBudget.truncationReport(
+      probeKeys(bucketedIndex(corpus, idCol, vecCol, dim, nPlanes, nTables),
+        nPlanes, nTables),
+      Seq("probe", "key"), bucketCap)
 
   /** Deterministic pseudo-random hyperplane weight w(j, d) ∈ [-0.5, 0.5):
     * pure integer arithmetic (no transcendental functions, so every

@@ -301,14 +301,8 @@ object Sim {
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int = SimhashBands - 1,
                    bucketCap: Int = BucketBudget.DefaultCap): DataFrame = {
-    val mask = (1L << SimhashBandBits) - 1
     val banded = BucketBudget.cap(
-      sims.select(col("id"), col("simhash"),
-        explode(array((0 until SimhashBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bkey"))): _*)).as("bd"))
-      .select(col("id"), col("simhash"), col("bd.band"), col("bd.bkey")),
-      Seq("band", "bkey"), "id", bucketCap)
+      simhashBanded(sims), Seq("band", "bkey"), "id", bucketCap)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -317,4 +311,26 @@ object Sim {
       .dropDuplicates("id_1", "id_2")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Shared band-key generation for [[simhashPairs]] and its truncation
+    * twin: one (id, simhash, band, bkey) row per band.
+    */
+  private def simhashBanded(sims: DataFrame): DataFrame = {
+    val mask = (1L << SimhashBandBits) - 1
+    sims.select(col("id"), col("simhash"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bkey"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"), col("bd.band"), col("bd.bkey"))
+  }
+
+  /** The loud truncation channel for [[simhashPairs]]: one row per
+    * (band, bkey) bucket larger than `bucketCap` — (band, bkey, n,
+    * dropped). Empty output = the cap was inactive and the pair result
+    * equals the uncapped semantics exactly.
+    */
+  def simhashTruncation(sims: DataFrame,
+                        bucketCap: Int = BucketBudget.DefaultCap): DataFrame =
+    BucketBudget.truncationReport(
+      simhashBanded(sims), Seq("band", "bkey"), bucketCap)
 }

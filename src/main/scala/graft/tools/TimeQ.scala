@@ -7,15 +7,23 @@ import org.apache.spark.sql.SparkSession
   * explicit windowGroupLimitThreshold, so a suite-context slowdown can
   * be split into plan effect vs shared-session/host effect.
   * Usage: runMain graft.tools.TimeQ <sfDir> <wglThreshold> <query...>
+  * Honors SPARK_GRAFT_CPUS (default 32) like Bench/Verify, so timings
+  * are comparable to the bench runs taken at the same parallelism.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.tools.TimeQ <sfDir> <wglThreshold> <query...>")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val wgl = args(1)  // windowGroupLimitThreshold
     val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.windowGroupLimitThreshold", wgl)
       .config("spark.sql.session.timeZone", "UTC")

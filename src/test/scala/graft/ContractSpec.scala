@@ -28,4 +28,35 @@ class ContractSpec extends AnyFunSuite {
     assert(TrainingQueries.queries.keySet == TrainingQueries.oracleSql.keySet)
     assert(MappingQueries.queries.keySet == MappingQueries.oracleSql.keySet)
   }
+
+  test("every BucketBudget.cap call site has a truncation channel (no silent caps)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val sources = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => p -> new String(Files.readAllBytes(p), "UTF-8"))
+      .toSeq
+    val capSites = sources.filter { case (p, s) =>
+      s.contains("BucketBudget.cap(") &&
+        !p.toString.endsWith("BucketBudget.scala")
+    }
+    assert(capSites.nonEmpty, "expected at least one BucketBudget.cap call site")
+    // a future capped path must ship its own loud channel: every FILE
+    // that caps must also expose a truncationReport-backed surface, and
+    // the number of cap calls in it must not exceed the number of
+    // truncation surfaces it defines (one twin per capped pipeline)
+    capSites.foreach { case (p, s) =>
+      val caps = "BucketBudget\\.cap\\(".r.findAllIn(s).size
+      val reports = "BucketBudget\\.truncationReport\\(".r.findAllIn(s).size
+      assert(reports >= caps,
+        s"$p has $caps BucketBudget.cap call(s) but only $reports " +
+          "truncationReport surface(s) — a capped pipeline without its " +
+          "loud twin truncates silently")
+    }
+    // and the driver gate keeps at least one ACTIVE-cap budget +
+    // truncation oracle pair, so the cap semantics stay engine-checked
+    assert(SparkEntry.queries.contains("sim_lsh_budget"))
+    assert(SparkEntry.queries.contains("sim_lsh_truncation"))
+  }
 }

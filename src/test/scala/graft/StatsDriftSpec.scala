@@ -62,4 +62,37 @@ class StatsDriftSpec extends SparkSpecBase {
     val v = Drift.verdict(p, q, "lang_drift", psiThreshold = 0.01, smoothing = 0.5).head()
     assert(v.getString(0) == "lang_drift" && !v.getBoolean(1))
   }
+
+  test("klPsi matches the per-row-normalized definition (algebraic totals are exact)") {
+    // asymmetric supports so smoothing's key union is exercised
+    val pCounts = (1 to 40).map(i => s"k$i" -> (i % 7 + 1).toLong).toMap
+    val qCounts = (11 to 50).map(i => s"k$i" -> (i % 5 + 3).toLong).toMap
+    val got = Drift.klPsi(
+      pCounts.toSeq.toDF("key", "n"), qCounts.toSeq.toDF("key", "n"),
+      smoothing = 0.5).head()
+    // driver-side brute force of the textbook definition
+    val keys = pCounts.keySet ++ qCounts.keySet
+    val cp = keys.toSeq.map(k => pCounts.getOrElse(k, 0L) + 0.5)
+    val cq = keys.toSeq.map(k => qCounts.getOrElse(k, 0L) + 0.5)
+    val (tp, tq) = (cp.sum, cq.sum)
+    val kl = (cp, cq).zipped.map((a, b) => a / tp * math.log((a / tp) / (b / tq))).sum
+    val psi = (cp, cq).zipped.map((a, b) =>
+      (a / tp - b / tq) * math.log((a / tp) / (b / tq))).sum
+    assert(math.abs(got.getDouble(0) - kl) < 2e-6, s"kl ${got.getDouble(0)} vs $kl")
+    assert(math.abs(got.getDouble(1) - psi) < 2e-6, s"psi ${got.getDouble(1)} vs $psi")
+  }
+
+  test("klPsi plans with no window stage — unbounded key domains are one ordinary aggregate") {
+    // 5000 distinct keys: far beyond the old tiny-cardinality contract
+    // that justified a single-partition totals window (round-4 verdict
+    // flagged it as the classic scale-killer on an unbounded key domain)
+    val p = (1 to 5000).map(i => s"u$i" -> (i % 7 + 1).toLong).toDF("key", "n")
+    val q = (1 to 4500).map(i => s"u$i" -> (i % 5 + 1).toLong).toDF("key", "n")
+    val res = Drift.klPsi(p, q, smoothing = 0.5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"single-partition totals window reappeared in klPsi:\n$plan")
+    val r = res.head()
+    assert(r.getDouble(0) > 0.0 && !r.getDouble(1).isNaN)
+  }
 }
