@@ -383,6 +383,21 @@ object MappingQueries {
         col("ext_ref"))
     }),
 
+    // append header-compatibility verdicts (io.py:361-391): widen +
+    // narrow + retype the documents schema and report every mismatch —
+    // the same compatIssues that appendWithSchemaCheck requires to be
+    // all-ok. Spark introspects the parquet footer via its reader; the
+    // oracle introspects the SAME footer via DuckDB's DESCRIBE — two
+    // independent reads that must agree (the twin transform below is
+    // the lockstep pair, mirrored in the oracle's incoming CTE).
+    "f_append_compat" -> ((s, dir) => {
+      val existing = s.read.parquet(s"$dir/documents.parquet")
+      val incoming = existing.drop("source")
+        .withColumn("extra_score", lit(0.5))
+        .withColumn("n_chars", col("n_chars").cast("string"))
+      graft.io.Tables.schemaCompatReport(s, existing.schema, incoming.schema)
+    }),
+
     // reference-faithful two-channel merge (process.py:987-989): only
     // multi-member triples are rewritten into the aggregate schema; lone
     // curated rows pass through UNCHANGED (agg_merge_cur gates the
@@ -661,6 +676,25 @@ object MappingQueries {
          |  ${duckExpand("(CASE WHEN doc_id % 3 = 0 THEN 'wd:Q' || (doc_id % 1000) " +
             "WHEN doc_id % 3 = 1 THEN 'nope:X' || doc_id ELSE 'plain-ref' END)")} AS ext_ref
          |FROM documents""".stripMargin,
+    // DuckDB's OWN footer introspection (DESCRIBE) vs Spark's reader;
+    // incoming CTE = the same drop/add/retype twin as the Spark query
+    // (LOCKSTEP: drop source, add extra_score DOUBLE, n_chars -> VARCHAR)
+    "f_append_compat" ->
+      """WITH existing AS (
+        |  SELECT column_name AS col, column_type AS typ FROM (DESCRIBE documents)),
+        |incoming AS (
+        |  SELECT column_name AS col,
+        |         CASE WHEN column_name = 'n_chars' THEN 'VARCHAR' ELSE column_type END AS typ
+        |  FROM (DESCRIBE documents) WHERE column_name <> 'source'
+        |  UNION ALL
+        |  SELECT 'extra_score', 'DOUBLE')
+        |SELECT COALESCE(e.col, i.col) AS col,
+        |       e.typ AS existing_type, i.typ AS incoming_type,
+        |       CASE WHEN e.typ IS NULL THEN 'new_column'
+        |            WHEN i.typ IS NULL THEN 'missing_column'
+        |            WHEN e.typ <> i.typ THEN 'type_changed'
+        |            ELSE 'ok' END AS status
+        |FROM existing e FULL OUTER JOIN incoming i ON e.col = i.col""".stripMargin,
     // keep-singles merge: gn counts each triple group ONCE (window over
     // the manual channel; NULL modifier groups like Spark's null-safe
     // key); gn>1 rows take the agg_merge_cur aggregate shape, gn=1 rows

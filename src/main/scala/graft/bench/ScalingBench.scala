@@ -69,70 +69,18 @@ object ScalingBench {
 
   private def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
 
-  private val probeSink = new java.util.concurrent.atomic.AtomicLong()
+  // Probes live in [[Probe]] (shared with TimeCap and the pre-run window
+  // qualifier so every evidence file reads the SAME instruments):
+  // probeThr = pure-register CPU ceiling; bwProbeThr = the 1.6 GB DRAM
+  // stream ceiling that binds a parquet-decode suite on one socket. On a
+  // real N-vs-4N cluster each executor brings its own memory
+  // controllers, so the bw ceiling scales with N; on this box it cannot.
+  private def probeThr(threads: Int, itersPerTask: Long = 400_000_000L): Double =
+    Probe.lcgThr(threads, itersPerTask)
 
-  /** Pure-arithmetic throughput at `threads` workers (LCG loop, no
-    * allocation, no IO, no Spark): measures what 8→32 scaling THIS BOX
-    * can physically deliver in the current window — SMT sibling sharing
-    * plus whatever co-tenant load exists. Run next to each engine sample
-    * so engine efficiency can be read against the simultaneous hardware
-    * ceiling instead of an assumed-idle 1.0.
-    */
-  private def probeThr(threads: Int, itersPerTask: Long = 400_000_000L): Double = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val tasks = threads * 2
-    val t0 = System.nanoTime()
-    val futs = (1 to tasks).map { _ =>
-      pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
-          var x = System.nanoTime(); var i = 0L
-          while (i < itersPerTask) {
-            x = x * 6364136223846793005L + 1442695040888963407L; i += 1
-          }
-          x
-        }
-      })
-    }
-    probeSink.addAndGet(futs.map(_.get()).sum) // defeat dead-code elimination
-    pool.shutdown()
-    tasks * itersPerTask / ((System.nanoTime() - t0) / 1e9)
-  }
+  private def bwProbeThr(threads: Int): Double = Probe.bwThr(threads)
 
-  /** 1.6 GB shared read-only array for the bandwidth probe (far beyond
-    * LLC, so every pass streams from DRAM); initialized once.
-    */
-  private lazy val bwArr: Array[Long] = Array.tabulate(200_000_000)(_.toLong)
-
-  /** Memory-BANDWIDTH throughput at `threads` workers (each thread
-    * stream-sums the shared array twice): the ceiling that actually
-    * binds a parquet-decode suite. On this single box all N "executors"
-    * share one socket's DRAM controllers — 8 threads already extract
-    * most of the available bandwidth, so a 32-thread run cannot read 4×
-    * faster no matter how well the engine scales. On a real N-vs-4N
-    * cluster each executor brings its own memory controllers and this
-    * ceiling scales with N. Returns GB/s.
-    */
-  private def bwProbeThr(threads: Int): Double = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val passes = 2
-    val t0 = System.nanoTime()
-    val futs = (1 to threads).map { _ =>
-      pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
-          var s = 0L; var r = 0
-          while (r < passes) {
-            var i = 0
-            while (i < bwArr.length) { s += bwArr(i); i += 1 }
-            r += 1
-          }
-          s
-        }
-      })
-    }
-    probeSink.addAndGet(futs.map(_.get()).sum)
-    pool.shutdown()
-    threads.toDouble * passes * bwArr.length * 8 / ((System.nanoTime() - t0) / 1e9) / 1e9
-  }
+  private def bwArr: Array[Long] = Probe.bwArr
 
   /** Interleaved A/B sampling (measurement hygiene): each rep times ONE
     * local[8] run then ONE local[32] run back-to-back, so slow host

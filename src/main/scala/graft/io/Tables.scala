@@ -59,18 +59,78 @@ object Tables {
     */
   private def checkAndAlign(existing: org.apache.spark.sql.types.StructType,
                             df: DataFrame): DataFrame = {
-    val have = existing.fields.map(f => f.name -> f.dataType).toMap
-    val incoming = df.schema.fields
-    val newCols = incoming.filter(f => !have.contains(f.name))
-    require(newCols.isEmpty,
-      s"append would introduce new columns: ${newCols.map(_.name).mkString(", ")}")
-    val missing = have.keySet -- incoming.map(_.name).toSet
-    require(missing.isEmpty,
-      s"append is missing columns: ${missing.mkString(", ")}")
-    val mismatched = incoming.filter(f => have(f.name) != f.dataType)
-    require(mismatched.isEmpty,
-      s"append would change column types: ${mismatched.map(_.name).mkString(", ")}")
+    val issues = compatIssues(existing, df.schema).filter(_.status != "ok")
+    require(issues.isEmpty,
+      "append header incompatible: " +
+        issues.map(i => s"${i.col} (${i.status})").mkString(", "))
     df.select(existing.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** One header-compat verdict row: `status` ∈ ok / new_column /
+    * missing_column / type_changed (reference io.py:381-387 raises on
+    * the first mismatch; the report form makes ALL of them visible).
+    * Types are rendered in DuckDB vocabulary ([[duckTypeName]]) so the
+    * report is directly comparable to `DESCRIBE`-based introspection —
+    * the `f_append_compat` gate entry hash-checks this report against
+    * DuckDB's own independent read of the same parquet footer.
+    */
+  final case class CompatIssue(col: String, existing_type: Option[String],
+                               incoming_type: Option[String], status: String)
+
+  /** The header-compatibility verdicts shared by [[checkAndAlign]] (which
+    * requires all-ok) and [[schemaCompatReport]] (which surfaces them):
+    * strict by-name match, order-insensitive.
+    */
+  def compatIssues(existing: org.apache.spark.sql.types.StructType,
+                   incoming: org.apache.spark.sql.types.StructType): Seq[CompatIssue] = {
+    val have = existing.fields.map(f => f.name -> f.dataType).toMap
+    val got = incoming.fields.map(f => f.name -> f.dataType).toMap
+    (have.keySet ++ got.keySet).toSeq.sorted.map { c =>
+      val (e, i) = (have.get(c), got.get(c))
+      val status = (e, i) match {
+        case (None, _) => "new_column"
+        case (_, None) => "missing_column"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "ok"
+      }
+      CompatIssue(c, e.map(duckTypeName), i.map(duckTypeName), status)
+    }
+  }
+
+  /** [[compatIssues]] as a (driver-sized — schemas ARE driver objects)
+    * DataFrame: one row per column of the name union.
+    */
+  def schemaCompatReport(spark: SparkSession,
+                         existing: org.apache.spark.sql.types.StructType,
+                         incoming: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    compatIssues(existing, incoming).toDF()
+  }
+
+  /** Catalyst type → DuckDB type-name vocabulary, the ONE rendering both
+    * engines' introspection must agree on (LOCKSTEP with what DuckDB's
+    * `DESCRIBE` prints for a Spark-written parquet footer — Spark writes
+    * TIMESTAMP as isAdjustedToUTC micros, which DuckDB reads as
+    * TIMESTAMP WITH TIME ZONE).
+    */
+  def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP WITH TIME ZONE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => duckTypeName(e) + "[]"
+      case other => other.sql
+    }
   }
 
   /** Bucketed twin of [[appendWithSchemaCheck]]: same header contract,

@@ -198,6 +198,21 @@ class ResumeSpec extends SparkSpecBase {
     }
   }
 
+  test("schemaCompatReport lists every mismatch class with DuckDB type names") {
+    val existing = Seq((1L, "a", "s", 2L)).toDF("id", "v", "gone", "n").schema
+    val incoming = Seq(("1", "a", 0.5)).toDF("id", "v", "extra").schema
+    val rows = Tables.compatIssues(existing, incoming)
+      .map(i => (i.col, i.existing_type, i.incoming_type, i.status))
+    assert(rows == Seq(
+      ("extra", None, Some("DOUBLE"), "new_column"),
+      ("gone", Some("VARCHAR"), None, "missing_column"),
+      ("id", Some("BIGINT"), Some("VARCHAR"), "type_changed"),
+      ("n", Some("BIGINT"), None, "missing_column"),
+      ("v", Some("VARCHAR"), Some("VARCHAR"), "ok")))
+    // the DataFrame form carries the same rows (driver-sized by nature)
+    assert(Tables.schemaCompatReport(spark, existing, incoming).count() == 5)
+  }
+
   test("bucketed append enforces the header contract and keeps the layout") {
     val wh = tmp()
     spark.sql("DROP TABLE IF EXISTS ab_t")
