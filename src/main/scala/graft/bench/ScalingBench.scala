@@ -53,18 +53,27 @@ object ScalingBench {
     }
   }
 
-  /** Alternative measured job (arg 6 = "neardup"): the capped MinHash
+  /** Alternative measured job (arg 6 = "neardup"): the production MinHash
     * LSH near-dup pipeline — shingle → one-pass signature → banding →
-    * hot-bucket budget (BucketBudget window group-limit, the shuffle the
-    * round-4 cap added) → band self-join → exact-jaccard verify. Run at
-    * both parallelism levels to evidence that the budget machinery
-    * itself scales >= 0.8 and returns the identical pair set (parity).
+    * hot-bucket budget gate (exact oversized-bucket pre-pass; the
+    * truncation window only when a bucket exceeds the cap) → band
+    * self-join → exact-jaccard verify. Run at both parallelism levels to
+    * evidence that the budget machinery scales >= 0.8 and returns the
+    * identical pair set (parity). "neardup-forcecap" runs the SAME
+    * pipeline with `graft.sim.capGate=always` — the unconditional
+    * WindowGroupLimit plan — so the window machinery's own scaling is
+    * evidenced separately from the gated production plan.
     */
   private def neardupJob(spark: SparkSession, path: String): Array[org.apache.spark.sql.Row] = {
     val pages = spark.read.parquet(path).select(col("doc_id"), col("text"))
     graft.sim.Sim.minhashLshPairs(pages, "doc_id", "text",
       n = 3, k = 8, rows = 2, threshold = 0.2)
       .select(col("id_1"), col("id_2"), col("jac")).collect()
+  }
+
+  private def neardupForceCapJob(spark: SparkSession, path: String): Array[org.apache.spark.sql.Row] = {
+    spark.conf.set("graft.sim.capGate", "always") // fresh session per run: no leak
+    neardupJob(spark, path)
   }
 
   private def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
@@ -103,7 +112,8 @@ object ScalingBench {
       job match {
         case "suite" => suiteJob
         case "neardup" => neardupJob
-        case other => sys.error(s"unknown job '$other' (suite | neardup)")
+        case "neardup-forcecap" => neardupForceCapJob
+        case other => sys.error(s"unknown job '$other' (suite | neardup | neardup-forcecap)")
       }
     val jobDesc = job match {
       case "suite" =>
@@ -111,10 +121,15 @@ object ScalingBench {
            |verdict grid + url-uniqueness + lineage RI sort-merge anti join +
            |per-partition column stats""".stripMargin
       case "neardup" =>
-        """capped MinHash LSH near-dup: shingle -> one-pass signature ->
-          |banding -> hot-bucket budget (WindowGroupLimit, the round-4 cap
-          |shuffle) -> band self-join -> exact-jaccard verify; parity = the
-          |pair set itself""".stripMargin
+        """production (gated) MinHash LSH near-dup: shingle -> one-pass
+          |signature -> banding -> hot-bucket gate (exact pre-pass; no
+          |oversized bucket -> window-free round-3 plan) -> band self-join
+          |-> exact-jaccard verify; parity = the pair set itself""".stripMargin
+      case "neardup-forcecap" =>
+        """FORCED-cap MinHash LSH near-dup (capGate=always): same pipeline
+          |with the unconditional row_number<=cap WindowGroupLimit on the
+          |banded frame — evidences the cap window machinery's own scaling;
+          |parity = the pair set itself""".stripMargin
     }
 
     // generate once (not timed), partitioned by table partition column

@@ -53,8 +53,58 @@ object BucketBudget {
   /** Inactive-by-accident guard: callers pass cap <= 0 to disable. */
   val DefaultCap: Int = 100000
 
+  /** The production form: gate the membership truncation behind an EXACT
+    * oversized-bucket count pre-pass, so a healthy corpus (no bucket over
+    * `capN` — every gate/bench scale, and every non-adversarial crawl)
+    * pays a slim hash aggregate instead of the window's two full sorts of
+    * the banded table.
+    *
+    * Why gate at all: round-5 TimeCap attribution (BENCH/BASELINE.md)
+    * measured the always-on `row_number <= cap` window costing +41.5%
+    * on `sim_minhash_lsh` and +17% on `emb_neardup` at sf0.1 even though
+    * no bucket was ever oversized — the WindowGroupLimit itself collapses
+    * degenerate buckets map-side, but its sort by (group, id) runs on
+    * BOTH sides of the band self-join regardless. The pre-pass is
+    * [[truncationReport]].isEmpty — a count aggregate with map-side
+    * partial combine whose shuffle carries one row per distinct bucket
+    * key, strictly cheaper than one sort of the same input. When it finds
+    * nothing, the caller gets its input back UNCHANGED and the pair plan
+    * is byte-identical to the ungated design; when it finds a hot bucket,
+    * the capped plan runs and the pre-pass cost is noise against an
+    * actually-truncating job.
+    *
+    * The decision is EXACT, not sampled (contrast Dedup.hotKeys): the
+    * active-cap oracle twins (`sim_lsh_budget`) require the same
+    * truncation decision on every engine and every run — a sampled gate
+    * could flip between value-identical and truncated results.
+    *
+    * Override knob: spark conf `graft.sim.capGate` = `auto` (default —
+    * the exact pre-pass) | `always` (skip the pre-pass and run the
+    * unconditional window, i.e. the round-4 plan). `always` exists for
+    * two callers: TimeCap's attribution runs (measure the window cost
+    * without forking the repo) and operators who KNOW the corpus is
+    * adversarial (boilerplate-dominated crawl) and would rather not pay
+    * the pre-pass before a cap that will certainly fire.
+    *
+    * Eagerness: this runs one Spark job at PLAN CONSTRUCTION time. All
+    * three call sites sit above a persisted upstream frame (the minhash
+    * sig base, the simhash banded frame, the embedding bucketed index),
+    * so the pre-pass also materializes the cache the main job's join
+    * sides reuse — the extra pass costs one cache write the pipeline
+    * needed anyway. Not usable on streaming frames (none of the LSH pair
+    * pipelines are streaming surfaces).
+    */
+  def capIfNeeded(keys: DataFrame, groupCols: Seq[String], idCol: String, capN: Int): DataFrame =
+    if (capN <= 0) keys
+    else if (keys.sparkSession.conf.get("graft.sim.capGate", "auto") == "always")
+      cap(keys, groupCols, idCol, capN)
+    else if (truncationReport(keys, groupCols, capN).isEmpty) keys
+    else cap(keys, groupCols, idCol, capN)
+
   /** Keep the `cap` smallest `idCol` members of every `groupCols` group
     * (ids must be unique for determinism — they are row keys here).
+    * Unconditional form — [[capIfNeeded]] is the production entry point;
+    * this stays public for tests that assert the window plan shape.
     */
   def cap(keys: DataFrame, groupCols: Seq[String], idCol: String, cap: Int): DataFrame =
     if (cap <= 0) keys

@@ -1,19 +1,30 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.bench.BenchUtil
+import graft.bench.{BenchUtil, Probe}
 import graft.sim.{Ann, BucketBudget, Sim}
 
-/** Cap-on vs cap-off attribution for the LSH pair family (round-4
-  * verdict item 3): times the four pipelines the hot-bucket budget was
-  * inserted into, with `bucketCap = DefaultCap` (production) and
-  * `bucketCap = 0` (cap machinery absent — the round-3 plan), INTERLEAVED
-  * per rep so host drift hits both variants of a pair about equally.
-  * This isolates the plan cost of the always-on WindowGroupLimit sort on
-  * a healthy (no oversized bucket) corpus, which the suite-level
-  * BENCH_r04-vs-r03 diff could not separate from host noise.
+/** Cap attribution for the LSH pair family (round-4 verdict item 3):
+  * times the four pipelines the hot-bucket budget was inserted into,
+  * THREE-WAY per rep, INTERLEAVED so host drift hits all variants of a
+  * rep about equally:
+  *
+  *   - `off`    — bucketCap = 0: cap machinery absent (the round-3 plan).
+  *   - `always` — bucketCap = DefaultCap, capGate=always: the
+  *     unconditional `row_number <= cap` window (the round-4 plan whose
+  *     BENCH_r04 regression this tool attributes).
+  *   - `gated`  — bucketCap = DefaultCap, capGate=auto: the round-5
+  *     production plan (exact oversized-bucket pre-pass; window only
+  *     when a bucket is actually over the cap).
+  *
+  * always/off isolates the plan cost of the always-on WindowGroupLimit
+  * sort on a healthy (no oversized bucket) corpus — the split the
+  * suite-level BENCH_r04-vs-r03 diff could not separate from host
+  * noise. gated/off is the residual insurance premium of the round-5
+  * gate (one count aggregate over the banded frame). Window quietness
+  * is qualified with the shared [[Probe]] instruments before and after
+  * the measured region.
   *
   * Usage: runMain graft.tools.TimeCap <sfDir> [reps=5]
   * Honors SPARK_GRAFT_CPUS (default 32) like Bench/TimeQ.
@@ -37,6 +48,11 @@ object TimeCap {
           threshold = 0.35, bucketCap = cap)))
   }
 
+  // (variant label, bucketCap, capGate conf value)
+  private val variants = Seq(
+    ("off", 0, "auto"), ("always", BucketBudget.DefaultCap, "always"),
+    ("gated", BucketBudget.DefaultCap, "auto"))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
       System.err.println("usage: runMain graft.tools.TimeCap <sfDir> [reps=5]")
@@ -47,39 +63,61 @@ object TimeCap {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = BenchUtil.session(cpus, "graft-timecap")
 
-    def timed(mk: () => DataFrame): Double = {
+    def probeLine(tag: String): Unit = {
+      val b4 = Probe.bwThr(4); val b32 = Probe.bwThr(32)
+      println(f"[timecap] probe($tag): bw@4=$b4%.1f GB/s bw@32=$b32%.1f GB/s " +
+        f"clean=${b4 >= Probe.CleanBwFloor}")
+    }
+
+    def mk(name: String, variant: (String, Int, String)): () => DataFrame = { () =>
+      spark.conf.set("graft.sim.capGate", variant._3)
+      pipelines(spark, sfDir, variant._2).find(_._1 == name).get._2()
+    }
+
+    def timed(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      graft.Bench.force(mk())
+      graft.Bench.force(f())
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       dt
     }
 
-    val names = pipelines(spark, sfDir, BucketBudget.DefaultCap).map(_._1)
-    names.foreach { name =>
-      def mkOn  = pipelines(spark, sfDir, BucketBudget.DefaultCap).find(_._1 == name).get._2
-      def mkOff = pipelines(spark, sfDir, 0).find(_._1 == name).get._2
-      // row parity first (also warms both plans): at DefaultCap no sf0.1
-      // bucket is oversized, so cap-on must equal cap-off exactly
-      val rOn = mkOn().collect().map(_.mkString("|")).sorted
-      spark.catalog.clearCache()
-      val rOff = mkOff().collect().map(_.mkString("|")).sorted
-      spark.catalog.clearCache()
-      val parity = rOn.sameElements(rOff)
-      val pairs = (1 to reps).map { i =>
-        val on = timed(mkOn); val off = timed(mkOff)
-        println(f"[timecap] $name rep$i: capOn=$on%.3f s capOff=$off%.3f s ratio=${on / off}%.3f")
-        (on, off)
+    require(Probe.bwArr.length > 0) // init the 1.6 GB probe array untimed
+    Probe.bwThr(4) // JIT-warm the probe loop
+    probeLine("before")
+
+    val names = pipelines(spark, sfDir, 0).map(_._1)
+    val results = names.map { name =>
+      // row parity first (also warms all plans): at DefaultCap no sf0.1
+      // bucket is oversized, so all three variants must agree exactly
+      val rows = variants.map { v =>
+        val r = mk(name, v)().collect().map(_.mkString("|")).sorted
+        spark.catalog.clearCache(); r
       }
-      val mOn = BenchUtil.median(pairs.map(_._1))
-      val mOff = BenchUtil.median(pairs.map(_._2))
+      val parity = rows.forall(_.sameElements(rows.head))
+      val samples = (1 to reps).map { i =>
+        val ts = variants.map { v => v._1 -> timed(mk(name, v)) }.toMap
+        println(f"[timecap] $name rep$i: off=${ts("off")}%.3f s " +
+          f"always=${ts("always")}%.3f s gated=${ts("gated")}%.3f s")
+        ts
+      }
+      def stat(v: String, f: Seq[Double] => Double) = f(samples.map(_(v)))
+      val med = variants.map(v => v._1 -> stat(v._1, BenchUtil.median)).toMap
+      val mn = variants.map(v => v._1 -> stat(v._1, _.min)).toMap
       // min-of-reps: robust to intermittent co-tenant stalls (a stall
       // only ever ADDS time, so the min approximates the clean cost)
-      val nOn = pairs.map(_._1).min; val nOff = pairs.map(_._2).min
-      println(f"[timecap] $name MEDIAN capOn=$mOn%.3f s capOff=$mOff%.3f s " +
-        f"overhead=${(mOn / mOff - 1) * 100}%.1f%% | MIN capOn=$nOn%.3f s " +
-        f"capOff=$nOff%.3f s overhead=${(nOn / nOff - 1) * 100}%.1f%% " +
-        f"parity=$parity rows=${rOn.length}")
+      println(f"[timecap] $name MEDIAN off=${med("off")}%.3f always=${med("always")}%.3f " +
+        f"gated=${med("gated")}%.3f | window-overhead(always/off) " +
+        f"med=${(med("always") / med("off") - 1) * 100}%+.1f%% " +
+        f"min=${(mn("always") / mn("off") - 1) * 100}%+.1f%% | " +
+        f"gate-overhead(gated/off) med=${(med("gated") / med("off") - 1) * 100}%+.1f%% " +
+        f"min=${(mn("gated") / mn("off") - 1) * 100}%+.1f%% | " +
+        f"parity=$parity rows=${rows.head.length}")
+      (name, med, mn, parity, rows.head.length)
+    }
+    probeLine("after")
+    results.foreach { case (name, med, mn, parity, n) =>
+      println(f"""{"query":"$name","off_med":${med("off")}%.3f,"always_med":${med("always")}%.3f,"gated_med":${med("gated")}%.3f,"off_min":${mn("off")}%.3f,"always_min":${mn("always")}%.3f,"gated_min":${mn("gated")}%.3f,"parity":$parity,"rows":$n}""")
     }
     spark.stop()
   }

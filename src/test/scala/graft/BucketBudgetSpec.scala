@@ -104,6 +104,37 @@ class BucketBudgetSpec extends SparkSpecBase {
     assert(capped === uncapped, "default cap must be invisible on normal corpora")
   }
 
+  test("capIfNeeded gate: healthy input returns the input plan verbatim; hot input truncates") {
+    val df = Seq(
+      ("g1", 5L), ("g1", 1L), ("g1", 9L), ("g1", 3L),
+      ("g2", 7L), ("g2", 2L)).toDF("k", "id")
+    // cap=4: no group oversized -> the gate must hand back the SAME plan
+    // (eq reference), not merely equal values — this is what makes the
+    // healthy-corpus pair pipelines window-free (PlanSpec)
+    assert(BucketBudget.capIfNeeded(df, Seq("k"), "id", 4) eq df)
+    // cap=2: g1 oversized -> identical values to the unconditional cap
+    val gated = BucketBudget.capIfNeeded(df, Seq("k"), "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = BucketBudget.cap(df, Seq("k"), "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gated === direct)
+  }
+
+  test("capGate=always skips the pre-pass and forces the unconditional window") {
+    val df = Seq(("g1", 5L), ("g1", 1L), ("g2", 7L)).toDF("k", "id")
+    spark.conf.set("graft.sim.capGate", "always")
+    try {
+      // healthy input (no group over cap=4) must STILL get the window plan
+      val forced = BucketBudget.capIfNeeded(df, Seq("k"), "id", 4)
+      assert(!(forced eq df), "always mode must not return the input plan")
+      assert(forced.queryExecution.optimizedPlan.toString.contains("row_number"),
+        "always mode must carry the cap window")
+      // and values are unchanged (cap inactive)
+      assert(forced.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally spark.conf.set("graft.sim.capGate", "auto")
+  }
+
   test("BucketBudget.cap keeps the cap smallest ids per group; truncationReport counts the rest") {
     val df = Seq(
       ("g1", 5L), ("g1", 1L), ("g1", 9L), ("g1", 3L),

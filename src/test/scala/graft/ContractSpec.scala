@@ -37,8 +37,9 @@ class ContractSpec extends AnyFunSuite {
       .filter(_.toString.endsWith(".scala"))
       .map(p => p -> new String(Files.readAllBytes(p), "UTF-8"))
       .toSeq
+    val capRe = "BucketBudget\\.cap(IfNeeded)?\\(".r
     val capSites = sources.filter { case (p, s) =>
-      s.contains("BucketBudget.cap(") &&
+      capRe.findFirstIn(s).isDefined &&
         !p.toString.endsWith("BucketBudget.scala")
     }
     assert(capSites.nonEmpty, "expected at least one BucketBudget.cap call site")
@@ -47,7 +48,7 @@ class ContractSpec extends AnyFunSuite {
     // the number of cap calls in it must not exceed the number of
     // truncation surfaces it defines (one twin per capped pipeline)
     capSites.foreach { case (p, s) =>
-      val caps = "BucketBudget\\.cap\\(".r.findAllIn(s).size
+      val caps = capRe.findAllIn(s).size
       val reports = "BucketBudget\\.truncationReport\\(".r.findAllIn(s).size
       assert(reports >= caps,
         s"$p has $caps BucketBudget.cap call(s) but only $reports " +
