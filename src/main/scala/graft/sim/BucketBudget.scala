@@ -59,10 +59,11 @@ object BucketBudget {
     * pays a slim hash aggregate instead of the window's two full sorts of
     * the banded table.
     *
-    * Why gate at all: round-5 TimeCap attribution (BENCH/BASELINE.md)
-    * measured the always-on `row_number <= cap` window costing +41.5%
-    * on `sim_minhash_lsh` and +17% on `emb_neardup` at sf0.1 even though
-    * no bucket was ever oversized — the WindowGroupLimit itself collapses
+    * Why gate at all: round-5 TimeCap attribution (BENCH/BASELINE.md,
+    * "TimeCap attribution" sections) measured the always-on
+    * `row_number <= cap` window costing +7% to +44% (min-of-reps) across
+    * the four pair pipelines at sf0.1 even though no bucket was ever
+    * oversized — the WindowGroupLimit itself collapses
     * degenerate buckets map-side, but its sort by (group, id) runs on
     * BOTH sides of the band self-join regardless. The pre-pass is
     * [[truncationReport]].isEmpty — a count aggregate with map-side
