@@ -398,6 +398,18 @@ object MappingQueries {
       graft.io.Tables.schemaCompatReport(s, existing.schema, incoming.schema)
     }),
 
+    // extension-slot declaration report (io.py:874-880 collision check,
+    // api.py:843-849 presence check) as a non-throwing verdict table:
+    // `present_in_data` is Spark's parquet-footer read vs DuckDB's own
+    // DESCRIBE of the same footer; the slot list and the core-column set
+    // are LOCKSTEP literal pairs with the oracle (change both or neither)
+    "f_slot_collision" -> ((s, dir) => {
+      val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.schema.ExtensionSlots.declarationReport(s,
+        Seq("doc_id", "lang", "html", "n_chars", "source", "quality_tier"),
+        docsSchema)
+    }),
+
     // reference-faithful two-channel merge (process.py:987-989): only
     // multi-member triples are rewritten into the aggregate schema; lone
     // curated rows pass through UNCHANGED (agg_merge_cur gates the
@@ -695,6 +707,22 @@ object MappingQueries {
         |            WHEN e.typ <> i.typ THEN 'type_changed'
         |            ELSE 'ok' END AS status
         |FROM existing e FULL OUTER JOIN incoming i ON e.col = i.col""".stripMargin,
+    // DuckDB's own footer introspection for present_in_data; the slot
+    // VALUES list and the core-column IN list are LOCKSTEP with
+    // ExtensionSlots.CoreColumns and the Spark query's slot Seq
+    "f_slot_collision" ->
+      """WITH slots(slot_name) AS (VALUES ('doc_id'), ('lang'), ('html'),
+        |  ('n_chars'), ('source'), ('quality_tier')),
+        |cols AS (SELECT column_name AS col FROM (DESCRIBE documents))
+        |SELECT slot_name,
+        |  slot_name IN ('url','warc_ts','html','text','lang','part','doc_id') AS shadows_core,
+        |  EXISTS (SELECT 1 FROM cols c WHERE c.col = slot_name) AS present_in_data,
+        |  CASE WHEN slot_name IN ('url','warc_ts','html','text','lang','part','doc_id')
+        |         THEN 'shadows_core'
+        |       WHEN NOT EXISTS (SELECT 1 FROM cols c WHERE c.col = slot_name)
+        |         THEN 'missing_from_data'
+        |       ELSE 'ok' END AS verdict
+        |FROM slots""".stripMargin,
     // keep-singles merge: gn counts each triple group ONCE (window over
     // the manual channel; NULL modifier groups like Spark's null-safe
     // key); gn>1 rows take the agg_merge_cur aggregate shape, gn=1 rows

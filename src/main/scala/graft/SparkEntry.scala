@@ -211,6 +211,21 @@ object SparkEntry {
       SetOps.excludeByKey(docs, docs.filter(col("lang") === "zh"), col("doc_id"))
         .select("doc_id")
     }),
+    // multi-set merge with schema reconciliation (cli.py:269-288
+    // `itt.chain` over files with differing columns): three slices with
+    // deliberately different column sets; unionByName fills the gaps
+    // with NULL, bag semantics preserved (mirrors UNION ALL BY NAME)
+    "s_merge_sets" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      SetOps.merge(Seq(
+        docs.filter(col("source") === "src1")
+          .select(col("doc_id"), col("lang"), lit("a").as("src_set")),
+        docs.filter(col("source") === "src2")
+          .select(col("doc_id"), col("n_chars"), lit("b").as("src_set")),
+        docs.filter(col("lang") === "zh")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            lit("c").as("src_set"))))
+    }),
 
     // ===== confidence aggregation algebra (process.py:472-568) =====
     "conf_mean" -> ((s, dir) =>
@@ -659,6 +674,15 @@ object SparkEntry {
       """SELECT doc_id FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM documents x
         |                  WHERE x.lang = 'zh' AND x.doc_id = d.doc_id)""".stripMargin,
+    // the three slice definitions are LOCKSTEP with the Spark query's
+    // SetOps.merge inputs (same filters, same projected columns)
+    "s_merge_sets" ->
+      """SELECT doc_id, lang, 'a' AS src_set FROM documents WHERE source = 'src1'
+        |UNION ALL BY NAME
+        |SELECT doc_id, n_chars, 'b' AS src_set FROM documents WHERE source = 'src2'
+        |UNION ALL BY NAME
+        |SELECT doc_id, lang, n_chars, 'c' AS src_set FROM documents
+        |WHERE lang = 'zh'""".stripMargin,
     "conf_mean" ->
       """SELECT event_type,
         |  round(avg(CASE WHEN event_type = 'error'

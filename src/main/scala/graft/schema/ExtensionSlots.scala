@@ -1,7 +1,8 @@
 package graft.schema
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /** Declared dynamic extra columns with typed casts — the reference's
   * extension-slot mechanism (reference: src/sssom_pydantic/api.py:818-867
@@ -27,6 +28,33 @@ object ExtensionSlots {
     * `test_extension_slot_curie`): known-prefix values expand to the
     * full URI, unknown prefixes and non-CURIE strings pass through.
     */
+  /** Non-throwing declaration report — one row per declared slot name
+    * with the verdicts [[applySlots]] enforces as `require`s (reference
+    * io.py:874-880 rejects shadowing built-ins; api.py:843-849 expects
+    * declared slots present in the data): whether the name shadows a
+    * core column, whether the table's own schema carries it, and the
+    * combined verdict (`shadows_core` takes precedence). The schema
+    * argument comes from the table's parquet footer, so the report is a
+    * cross-engine surface: DuckDB reproduces `present_in_data` with its
+    * OWN footer introspection (DESCRIBE), like the append-compat check.
+    * Driver-sized by contract: slot lists are hand-written declarations.
+    */
+  def declarationReport(spark: SparkSession, slots: Seq[String],
+                        schema: StructType,
+                        core: Set[String] = CoreColumns): DataFrame = {
+    import spark.implicits._
+    val present = schema.fieldNames.toSet
+    slots.map { n =>
+      val shadows = core.contains(n)
+      val inData = present.contains(n)
+      val verdict =
+        if (shadows) "shadows_core"
+        else if (!inData) "missing_from_data"
+        else "ok"
+      (n, shadows, inData, verdict)
+    }.toDF("slot_name", "shadows_core", "present_in_data", "verdict")
+  }
+
   def applySlots(df: DataFrame, slots: Seq[Slot]): DataFrame = {
     val dupes = slots.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
     require(dupes.isEmpty, s"duplicate extension slots: ${dupes.mkString(", ")}")

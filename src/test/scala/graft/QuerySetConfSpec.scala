@@ -85,6 +85,20 @@ class QuerySetConfSpec extends SparkSpecBase {
     assert(kept == Set(1, 2))
   }
 
+  test("merge reconciles differing schemas, NULL-fills, keeps bags") {
+    val a = Seq((1, "x"), (1, "x")).toDF("k", "s")     // duplicate row kept
+    val b = Seq((2, 9L)).toDF("k", "n")
+    val c = Seq((3, "z", 7L)).toDF("k", "s", "n")
+    val m = SetOps.merge(Seq(a, b, c))
+    assert(m.columns.toSet == Set("k", "s", "n"))
+    assert(m.count() == 4) // bag semantics: the duplicate (1, x) survives
+    val rows = m.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.count(_ == ((1, Some("x"), None))) == 2)
+    assert(rows.contains((2, None, Some(9L))))
+    assert(rows.contains((3, Some("z"), Some(7L))))
+  }
+
   test("confidence: mean vs noisy-or vs negation vs reviewer blend") {
     val df = Seq(("t", 0.5, false), ("t", 0.5, false)).toDF("g", "c", "neg")
     val mean = Confidence.aggregate(df, Seq("g"), col("c"), Confidence.Mean).head()

@@ -41,6 +41,24 @@ class SlotsCoerceSpec extends SparkSpecBase {
     }
   }
 
+  test("extension slots: declarationReport verdicts mirror applySlots") {
+    val df = Seq((1L, "7")).toDF("doc_id", "score")
+    val rep = ExtensionSlots.declarationReport(spark,
+      Seq("url", "score", "absent"), df.schema)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getString(3)))).toMap
+    // shadows_core wins even when the column is absent from the data
+    assert(rep("url") == ((true, false, "shadows_core")))
+    assert(rep("score") == ((false, true, "ok")))
+    assert(rep("absent") == ((false, false, "missing_from_data")))
+    // every non-ok verdict is a require in applySlots (lockstep check)
+    rep.collect { case (n, (_, _, v)) if v == "shadows_core" => n }.foreach { n =>
+      intercept[IllegalArgumentException] {
+        ExtensionSlots.applySlots(df, Seq(ExtensionSlots.Slot(n, "string")))
+      }
+    }
+  }
+
   test("formatter: present columns, condensation, default propagation") {
     val df = Seq(
       (Some("a"), None: Option[String], "const"),

@@ -2,10 +2,20 @@
 # Clean-window hunter (round-5 evidence harness): qualifies the host with
 # the shared graft.bench.Probe instruments (same 4-thread stream-sum
 # floor the evidence file cites), and fires the next queued evidence job
-# the moment a clean window appears. Queue lines are full shell commands
+# when a clean window appears. Queue lines are full shell commands
 # in /tmp/hunt_queue, popped one at a time; everything logs to
 # /tmp/hunt_runs.log and every probe reading is appended to
 # /tmp/probe_log.txt so the window record survives either verdict.
+#
+# Firing criterion (hardened after a round-5 false start: one marginal
+# clean probe fired a set straight into a co-tenant spike that held the
+# warm-up under load-17 for 25+ minutes):
+#   1. loadavg(1m) < 4 BEFORE spending a probe — nothing of ours runs
+#      between jobs, so any load is a co-tenant (a probe costs ~20 s of
+#      full-box time; don't burn it to confirm what /proc already says);
+#   2. TWO consecutive clean probes ~45 s apart — a single reading at
+#      the 17 GB/s floor says nothing about the window's persistence,
+#      and the jobs need 10-15 clean minutes, not one clean second.
 #
 # Usage: tools/hunt.sh [queue-file]   (run from the repo root)
 set -u
@@ -22,17 +32,26 @@ done
 export GRAFT_JAVA_OPTS="$OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 QUEUE=${1:-/tmp/hunt_queue}
 LOG=/tmp/hunt_runs.log
-while true; do
+
+probe_clean() {  # one probe; echoes the JSON line; rc 0 iff clean
+  local line
   line=$(java $OPENS -Xmx4g -cp "$CP" graft.bench.Probe 4 16 2>/dev/null | tail -1)
   echo "$(date -u +%H:%M:%S) $line" >> /tmp/probe_log.txt
-  if echo "$line" | grep -q '"clean":true'; then
-    job=$(head -1 "$QUEUE" 2>/dev/null || true)
-    if [ -z "${job:-}" ]; then echo "$(date -u) queue empty, exiting" >> "$LOG"; exit 0; fi
-    sed -i '1d' "$QUEUE"
-    echo "=== $(date -u) CLEAN ($line), firing: $job" >> "$LOG"
-    bash -c "$job" >> "$LOG" 2>&1
-    echo "=== $(date -u) job finished rc=$?" >> "$LOG"
-  else
-    sleep 90
+  echo "$line"
+  echo "$line" | grep -q '"clean":true'
+}
+
+while true; do
+  if ! awk '{exit !($1 < 4.0)}' /proc/loadavg; then
+    sleep 90; continue
   fi
+  if ! line1=$(probe_clean); then sleep 90; continue; fi
+  sleep 45
+  if ! line2=$(probe_clean); then sleep 90; continue; fi
+  job=$(head -1 "$QUEUE" 2>/dev/null || true)
+  if [ -z "${job:-}" ]; then echo "$(date -u) queue empty, exiting" >> "$LOG"; exit 0; fi
+  sed -i '1d' "$QUEUE"
+  echo "=== $(date -u) CLEAN x2 ($line1 | $line2), firing: $job" >> "$LOG"
+  bash -c "$job" >> "$LOG" 2>&1
+  echo "=== $(date -u) job finished rc=$?" >> "$LOG"
 done
