@@ -107,7 +107,14 @@ object ScalingBench {
     val cB = if (args.length > 4) args(4).toInt else 32  // 4N
     val job = if (args.length > 5) args(5) else "suite"
     val ratio = cB.toDouble / cA
-    val dataPath = s"/tmp/graft_bench_pages_$n"
+    // the neardup jobs measure the LSH pipeline over the planted
+    // near-dup corpus (WebGen.neardupDocs scaladoc: pages' 32-word
+    // vocabulary melts the band join quadratically and verifies zero
+    // pairs — wrong corpus for that evidence); the suite job keeps the
+    // violation-injected pages corpus
+    val dataPath =
+      if (job.startsWith("neardup")) s"/tmp/graft_neardup_docs_$n"
+      else s"/tmp/graft_bench_pages_$n"
     val jobFn: (SparkSession, String) => Array[org.apache.spark.sql.Row] =
       job match {
         case "suite" => suiteJob
@@ -121,22 +128,26 @@ object ScalingBench {
            |verdict grid + url-uniqueness + lineage RI sort-merge anti join +
            |per-partition column stats""".stripMargin
       case "neardup" =>
-        """production (gated) MinHash LSH near-dup: shingle -> one-pass
+        """production (gated) MinHash LSH near-dup over the PLANTED
+          |near-dup corpus (WebGen.neardupDocs: 50k-pseudo-word vocab,
+          |25-member cliques + adjacent pairs): shingle -> one-pass
           |signature -> banding -> hot-bucket gate (exact pre-pass; no
           |oversized bucket -> window-free round-3 plan) -> band self-join
           |-> exact-jaccard verify; parity = the pair set itself""".stripMargin
       case "neardup-forcecap" =>
-        """FORCED-cap MinHash LSH near-dup (capGate=always): same pipeline
-          |with the unconditional row_number<=cap WindowGroupLimit on the
-          |banded frame — evidences the cap window machinery's own scaling;
+        """FORCED-cap MinHash LSH near-dup (capGate=always) over the
+          |planted near-dup corpus: same pipeline with the unconditional
+          |row_number<=cap WindowGroupLimit on the banded frame —
+          |evidences the cap window machinery's own scaling;
           |parity = the pair set itself""".stripMargin
     }
 
     // generate once (not timed), partitioned by table partition column
     if (!Files.exists(Paths.get(dataPath))) {
       val s = session(32)
-      WebGen.pages(s, n, parts = 64).write
-        .partitionBy("part").mode("overwrite").parquet(dataPath)
+      val gen = if (job.startsWith("neardup")) WebGen.neardupDocs(s, n, parts = 64)
+                else WebGen.pages(s, n, parts = 64)
+      gen.write.partitionBy("part").mode("overwrite").parquet(dataPath)
     }
 
     def timedRun(cpus: Int): Double = {

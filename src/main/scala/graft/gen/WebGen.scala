@@ -84,4 +84,64 @@ object WebGen {
       lang.as("lang"),
       pmod(xxhash64(coalesce(url, lit("∅")), lit(seed)), lit(parts)).cast("int").as("part"))
   }
+
+  /** Deterministic near-dup corpus `(doc_id, text, part)` for the LSH
+    * near-dup scaling evidence (ScalingBench `neardup` jobs).
+    *
+    * [[pages]] is the WRONG corpus for that job: its 32-word vocabulary
+    * gives every pair of long documents a background Jaccard of ~2-3%,
+    * so the banded self-join's candidate volume grows ~quadratically in
+    * n (measured: 250k pages → 385 s and >40 GB of shuffle spill at
+    * local[16]) while ZERO pairs survive the ≥0.2 verification — a
+    * corpus-structure artifact real crawls don't have, and pair-set
+    * parity over an empty result evidences nothing. This generator
+    * instead models a healthy crawl the way the reference's near-dup
+    * semantics assume (sssom-pydantic grouping on content keys,
+    * `process.py:186-214`): a wide effective vocabulary (50 000
+    * pseudo-words → word-3-shingle universe ~10¹⁴, so unrelated docs
+    * share no shingles and band buckets are singletons) with PLANTED
+    * near-dup structure:
+    *
+    *   - clique clusters: docs with `d % 10000 < 25` form a 25-member
+    *     clique per 10k block — every member shares the block's base
+    *     text with word #2 replaced by a member-specific word
+    *     (pairwise Jaccard ≈ 0.75-0.9, all above the 0.2 threshold);
+    *   - adjacent pairs: docs with `d % 40 == 17` (outside cliques)
+    *     are a one-word-substituted near-copy of doc `d-1`.
+    *
+    * Every doc (member or not) draws its words from the SAME
+    * hash-keyed scheme, so the only above-threshold pairs are the
+    * planted ones and the expected pair set is computable in a spec.
+    * Text length 24-40 words keyed off the text seed so clique members
+    * agree on length.
+    */
+  def neardupDocs(spark: SparkSession, n: Long, parts: Int = 64,
+                  seed: Long = 7L): DataFrame = {
+    val d = col("id")
+    val inClique = d % 10000 < 25
+    // integer arithmetic only: Column./ is TRUE division (doubles), so
+    // (d / 10000) * 10000 would hand every member its own float seed
+    val cliqueBase = d - d % 10000
+    val isPair = d % 40 === 17
+    // textSeed: whose base text this doc carries; variant > 0 marks a
+    // member that substitutes word #2 with a variant-specific word.
+    // Clique membership wins over the pair rule (a d%40==17 doc inside
+    // a clique window is a clique member, never a dangling pair copy).
+    val textSeed = when(inClique, cliqueBase)
+      .when(isPair, d - 1).otherwise(d)
+    val variant = when(inClique, d % 10000)
+      .when(isPair, lit(1L)).otherwise(lit(0L))
+    val nWords = (lit(24L) + h(seed + 1, textSeed) % 17).cast("int")
+    val body = array_join(
+      transform(sequence(lit(1), nWords), i =>
+        when(i === 2 && variant > 0,
+          concat(lit("v"), d)) // member-unique substitution word
+          .otherwise(concat(lit("w"),
+            h(seed + 2, textSeed * 64 + i) % 50000))),
+      " ")
+    spark.range(n).select(
+      d.as("doc_id"),
+      body.as("text"),
+      pmod(xxhash64(d, lit(seed)), lit(parts)).cast("int").as("part"))
+  }
 }

@@ -42,6 +42,38 @@ class WebGenSpec extends SparkSpecBase {
     assert(dupUrls < expected * 1.3, s"got $dupUrls duplicated urls, expected ~$expected")
   }
 
+  test("neardupDocs: planted pairs are exactly the above-threshold pairs") {
+    import graft.sim.Sim
+    val n = 1200
+    val docs = WebGen.neardupDocs(spark, n).cache()
+    try {
+      // determinism first (the scaling evidence depends on it)
+      val a = docs.collect().map(_.mkString("|")).sorted
+      assert(a.sameElements(
+        WebGen.neardupDocs(spark, n).collect().map(_.mkString("|")).sorted))
+      // exact all-pairs ground truth: ONLY the planted structure crosses
+      // the 0.2 threshold — one 25-clique (docs 0..24 → 300 pairs) plus
+      // the d%40==17 adjacent pairs outside the clique (57..1177 → 29)
+      val truth = Sim.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+        .select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cliquePairs = (for {
+        i <- 0L until 25L; j <- (i + 1) until 25L
+      } yield (i, j)).toSet
+      val adjPairs = (57L until n by 40L).map(d => (d - 1, d)).toSet
+      assert(truth == cliquePairs ++ adjPairs,
+        s"ground truth ${truth.size} pairs != planted ${(cliquePairs ++ adjPairs).size}")
+      // the production LSH pipeline: subset of truth (it verifies exact
+      // jaccard) with recall >= 0.9 (4 bands of 2 at jac 0.75-0.9)
+      val lsh = Sim.minhashLshPairs(docs, "doc_id", "text", 3, 8, 2, 0.2)
+        .select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.subsetOf(truth))
+      assert(lsh.size >= truth.size * 0.9,
+        s"LSH recall ${lsh.size}/${truth.size} below 0.9 floor")
+    } finally docs.unpersist()
+  }
+
   test("violation fractions roughly match the injection moduli") {
     val n = 20000.0
     val df = WebGen.pages(spark, 20000).cache()
