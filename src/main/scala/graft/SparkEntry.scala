@@ -95,6 +95,23 @@ object SparkEntry {
     "m_stats_exact" -> ((s, dir) =>
       Stats.columnStats(Derive.webPages(s, dir), Seq("url", "lang"), exact = true)
         .withColumnRenamed("column", "col_name")),
+    // ===== fused validate+profile: verdicts AND stats from ONE scan =====
+    // (reference computes both in one read pass; oracles are ALIASES of
+    // the verdicts / m_stats oracles — fused must equal unfused exactly)
+    "fused_verdicts" -> ((s, dir) => {
+      val wp = Derive.webPages(s, dir)
+      graft.runner.Profile.verdictRows(
+        graft.runner.Profile.fusedAggregate(wp, Constraints.webtextSuite,
+          Seq("url", "lang")),
+        Constraints.webtextSuite)
+    }),
+    "fused_stats" -> ((s, dir) => {
+      val wp = Derive.webPages(s, dir)
+      graft.runner.Profile.statRowsChecked(
+        graft.runner.Profile.fusedAggregate(wp, Constraints.webtextSuite,
+          Seq("url", "lang"), checked = true),
+        Seq("url", "lang"))
+    }),
     "m_len_hist" -> ((s, dir) =>
       Stats.lengthHistogram(Derive.webPages(s, dir), "text")),
     // GK quantile sketch with its rank-error bound verified against the
@@ -461,8 +478,8 @@ object SparkEntry {
        |             - sum(c_q * ln(c_p / c_q)) / sum(c_q), 6) + 0.0 AS psi
        |FROM j""".stripMargin
 
-  def oracleSql: Map[String, String] =
-    TrainingQueries.oracleSql ++ MappingQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] = {
+    val base = TrainingQueries.oracleSql ++ MappingQueries.oracleSql ++ Map(
     "violations" ->
       s"""${Derive.duckCte}
          |SELECT * FROM ($violationsUnion) v""".stripMargin,
@@ -788,5 +805,14 @@ object SparkEntry {
         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+    )
+    // The fused validate+profile pass must equal the unfused operators
+    // EXACTLY — aliasing the oracle strings (not copying them) makes
+    // that equality the thing the gate checks, and leaves nothing to
+    // drift: a change to the verdicts/m_stats oracles IS a change to
+    // the fused oracles.
+    base ++ Map(
+      "fused_verdicts" -> base("verdicts"),
+      "fused_stats" -> base("m_stats"))
+  }
 }

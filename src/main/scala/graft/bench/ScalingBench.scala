@@ -53,6 +53,39 @@ object ScalingBench {
     }
   }
 
+  /** Alternative measured job (arg 6 = "suite-fused"): the SAME suite
+    * output rows, but with the row-constraint verdict grid and the
+    * per-partition column stats computed by [[graft.runner.Profile]]'s
+    * ONE-pass fused aggregate instead of two separate scans. The 64-row
+    * aggregate frame is persisted so the second derivation reads the
+    * cache, not the table: one wide scan total where `suite` pays a wide
+    * scan plus a pruned url/lang scan. The url-keyed dataset checks are
+    * identical between the modes. Output rows are row-identical to
+    * `suite` (ProfileSpec asserts the operator equality; the gate checks
+    * both against the same oracles), so cross-mode deltas are pure plan
+    * effect.
+    */
+  private def suiteFusedJob(spark: SparkSession, path: String): Array[org.apache.spark.sql.Row] = {
+    import graft.checks.DatasetChecks
+    import graft.runner.Profile
+    val pages = spark.read.parquet(path)
+    val agg = Profile.fusedAggregate(pages, Constraints.webtextSuite,
+      Seq("url", "lang")).persist()
+    try {
+      val valid = pages.filter(Constraints.validUrl)
+      val lineage = BenchUtil.syntheticLineage(valid)
+      val ord = struct(coalesce(unix_timestamp(col("warc_ts")), lit(-1L)).as("ts"),
+        (-col("doc_id")).as("negid"))
+      val dsViol = DatasetChecks.uniquenessViolations(valid, ord)
+        .unionByName(DatasetChecks.riViolations(valid, lineage, broadcastParent = false))
+      val pc = valid.groupBy(col("part")).agg(count(lit(1)).as("row_count"))
+      val grid = Profile.verdictRows(agg, Constraints.webtextSuite)
+        .unionByName(DatasetChecks.verdictsFromViolations(
+          dsViol, pc, Seq("url_unique", "url_lineage")))
+      grid.collect() ++ Profile.statRows(agg, Seq("url", "lang")).collect()
+    } finally { agg.unpersist(); () }
+  }
+
   /** Alternative measured job (arg 6 = "neardup"): the production MinHash
     * LSH near-dup pipeline — shingle → one-pass signature → banding →
     * hot-bucket budget gate (exact oversized-bucket pre-pass; the
@@ -118,15 +151,22 @@ object ScalingBench {
     val jobFn: (SparkSession, String) => Array[org.apache.spark.sql.Row] =
       job match {
         case "suite" => suiteJob
+        case "suite-fused" => suiteFusedJob
         case "neardup" => neardupJob
         case "neardup-forcecap" => neardupForceCapJob
-        case other => sys.error(s"unknown job '$other' (suite | neardup | neardup-forcecap)")
+        case other => sys.error(s"unknown job '$other' (suite | suite-fused | neardup | neardup-forcecap)")
       }
     val jobDesc = job match {
       case "suite" =>
         s"""FULL suite: ${Constraints.webtextSuite.size} row constraints ->
            |verdict grid + url-uniqueness + lineage RI sort-merge anti join +
            |per-partition column stats""".stripMargin
+      case "suite-fused" =>
+        s"""FULL suite, FUSED pass: ${Constraints.webtextSuite.size} row constraints
+           |AND per-partition column stats from Profile's ONE aggregate over
+           |ONE scan (64-row aggregate persisted; stats derivation reads the
+           |cache) + the identical url-uniqueness / lineage RI checks —
+           |output rows identical to the `suite` job""".stripMargin
       case "neardup" =>
         """production (gated) MinHash LSH near-dup over the PLANTED
           |near-dup corpus (WebGen.neardupDocs: 50k-pseudo-word vocab,

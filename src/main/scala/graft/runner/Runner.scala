@@ -62,16 +62,19 @@ object Runner {
           col("f.check_name"), col("f.detail"), col("f.stage")): _*)
   }
 
-  /** Per-(partition, constraint) verdict grid: one aggregate pass with
-    * map-side combine; the grid is dense (every constraint appears for
-    * every partition, passing or not).
+  /** Per-constraint violation-count aggregate columns — the map-side
+    * half of [[verdicts]], exposed so [[Profile]] can fuse them into a
+    * wider single-pass aggregate without duplicating the expressions.
     */
-  def verdicts(pages: DataFrame, suite: Seq[Constraint]): DataFrame = {
-    val compiled = Constraints.compile(suite)
-    val aggs = compiled.map(c =>
-      sum(when(c.violated, 1L).otherwise(0L)).as(s"v_${c.name}")) :+
-      count(lit(1)).as("row_count")
-    val g = pages.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+  private[graft] def verdictAggs(compiled: Seq[RowConstraint]): Seq[Column] =
+    compiled.map(c =>
+      sum(when(c.violated, 1L).otherwise(0L)).as(s"v_${c.name}"))
+
+  /** Explode a per-part aggregate frame (carrying the [[verdictAggs]]
+    * columns plus `row_count`) into the dense verdict grid shape.
+    */
+  private[graft] def verdictRowsFromAgg(g: DataFrame,
+                                        compiled: Seq[RowConstraint]): DataFrame = {
     val entries = array(compiled.map(c => struct(
       lit(c.name).as("check_name"),
       col(s"v_${c.name}").as("violation_count"))): _*)
@@ -82,5 +85,16 @@ object Runner {
         (col("e.violation_count") === 0L).as("passed"),
         col("e.violation_count").as("violation_count"),
         col("row_count"))
+  }
+
+  /** Per-(partition, constraint) verdict grid: one aggregate pass with
+    * map-side combine; the grid is dense (every constraint appears for
+    * every partition, passing or not).
+    */
+  def verdicts(pages: DataFrame, suite: Seq[Constraint]): DataFrame = {
+    val compiled = Constraints.compile(suite)
+    val aggs = verdictAggs(compiled) :+ count(lit(1)).as("row_count")
+    val g = pages.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+    verdictRowsFromAgg(g, compiled)
   }
 }

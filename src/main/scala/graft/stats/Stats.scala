@@ -30,13 +30,34 @@ object Stats {
                         extraAgg: String => Seq[Column],
                         cellOf: String => Column, cellName: String,
                         colField: String): DataFrame = {
-    val aggs: Seq[Column] = columns.flatMap { c =>
+    val aggs: Seq[Column] = statAggs(columns, extraAgg) :+
+      count(lit(1)).as("row_count")
+    val g = df.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+    statRowsFromAgg(g, columns, cellOf, cellName, colField)
+  }
+
+  /** The per-column aggregate half of [[longStats]] (null count, min,
+    * max + the variant's extra cells), WITHOUT the shared `row_count` —
+    * exposed so [[graft.runner.Profile]] can fuse these into the verdict
+    * aggregate's single pass without duplicating the expressions.
+    */
+  private[graft] def statAggs(columns: Seq[String],
+                              extraAgg: String => Seq[Column]): Seq[Column] =
+    columns.flatMap { c =>
       Seq(
         sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"nulls_$c"),
         min(col(c).cast("string")).as(s"min_$c"),
         max(col(c).cast("string")).as(s"max_$c")) ++ extraAgg(c)
-    } :+ count(lit(1)).as("row_count")
-    val g = df.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+    }
+
+  /** Explode a per-part aggregate frame carrying the [[statAggs]]
+    * columns plus `row_count` into the long (part, column, null_rate,
+    * <cell>, min, max, row_count) shape — the other half of
+    * [[longStats]], shared with the fused pass.
+    */
+  private[graft] def statRowsFromAgg(g: DataFrame, columns: Seq[String],
+                                     cellOf: String => Column, cellName: String,
+                                     colField: String): DataFrame = {
     val entries = array(columns.map(c => struct(
       lit(c).as("column"),
       col(s"nulls_$c").as("null_count"),
@@ -54,15 +75,30 @@ object Stats {
         col("row_count"))
   }
 
+  /** The two distinct-count flavors and their cells, named once so the
+    * stand-alone stats pass and the fused validate+profile pass cannot
+    * drift: production = HLL++ only; checked = HLL++ + exact twin with
+    * the 3·rsd bound emitted as an oracle-comparable boolean.
+    */
+  private[graft] def distinctAgg(exact: Boolean)(c: String): Seq[Column] =
+    Seq((if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+      .as(s"distinct_$c"))
+  private[graft] def distinctCell(c: String): Column =
+    col(s"distinct_$c").cast("long")
+  private[graft] def checkedAgg(rsd: Double)(c: String): Seq[Column] = Seq(
+    approx_count_distinct(col(c), rsd).as(s"hll_$c"),
+    countDistinct(col(c)).as(s"exact_$c"))
+  private[graft] def checkedCell(rsd: Double)(c: String): Column =
+    abs(col(s"hll_$c") - col(s"exact_$c")).cast("double") <=
+      lit(3 * rsd) * greatest(col(s"exact_$c"), lit(1L)).cast("double")
+
   /** Long-format stats: one row per (part, column) with null_rate,
     * distinct count, min/max (as strings).
     */
   def columnStats(df: DataFrame, columns: Seq[String], exact: Boolean = false): DataFrame =
     longStats(df, columns,
-      extraAgg = c => Seq(
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
-          .as(s"distinct_$c")),
-      cellOf = c => col(s"distinct_$c").cast("long"),
+      extraAgg = distinctAgg(exact),
+      cellOf = distinctCell,
       cellName = "distinct_count", colField = "column")
 
   /** HLL++ accuracy verification: per (part, column), the exact stats
@@ -82,11 +118,8 @@ object Stats {
   def columnStatsChecked(df: DataFrame, columns: Seq[String],
                          rsd: Double = 0.05): DataFrame =
     longStats(df, columns,
-      extraAgg = c => Seq(
-        approx_count_distinct(col(c), rsd).as(s"hll_$c"),
-        countDistinct(col(c)).as(s"exact_$c")),
-      cellOf = c => abs(col(s"hll_$c") - col(s"exact_$c")).cast("double") <=
-        lit(3 * rsd) * greatest(col(s"exact_$c"), lit(1L)).cast("double"),
+      extraAgg = checkedAgg(rsd),
+      cellOf = checkedCell(rsd),
       cellName = "distinct_ok", colField = "col_name")
 
   /** Production quantile path: per-partition GK sketch

@@ -31,6 +31,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "map-side partial aggregation missing")
   }
 
+  test("fused validate+profile: ONE scan, one partial+final aggregate, no Expand") {
+    // the whole point of the fused pass is one pass: a second parquet
+    // scan, a second exchange, or a multi-distinct Expand (which
+    // re-processes the scanned rows once per distinct group) would
+    // silently give back everything the fusion bought
+    val p = planOf("fused_verdicts")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"fused pass must scan once:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"fused pass must shuffle once:\n$p")
+    assert(p.contains("partial_"), "map-side partial aggregation missing")
+    assert(!p.contains("Expand"), s"production fused pass must not Expand:\n$p")
+  }
+
   test("hot-key pre-pass samples before its aggregate (filter under the scan side, one shuffle)") {
     val p = planOf("m_hot_domains")
     assert("Exchange".r.findAllIn(p).size == 1, s"hotKeys must shuffle once:\n$p")
