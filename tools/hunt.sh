@@ -31,12 +31,18 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 export GRAFT_JAVA_OPTS="$OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 QUEUE=${1:-/tmp/hunt_queue}
-LOG=/tmp/hunt_runs.log
+# Hardened after the round-5 final session lost two sets to /tmp +
+# process-tree death: console and probe logs live in the repo tree
+# (survives reboot AND session kill), and every finished job's
+# BENCH/BASELINE.md append is committed immediately.
+LOG=BENCH/logs/hunt_runs_live.log
+PROBELOG=BENCH/logs/probe_log_live.txt
+mkdir -p BENCH/logs
 
 probe_clean() {  # one probe; echoes the JSON line; rc 0 iff clean
   local line
   line=$(java $OPENS -Xmx4g -cp "$CP" graft.bench.Probe 4 16 2>/dev/null | tail -1)
-  echo "$(date -u +%H:%M:%S) $line" >> /tmp/probe_log.txt
+  echo "$(date -u +%H:%M:%S) $line" >> "$PROBELOG"
   echo "$line"
   echo "$line" | grep -q '"clean":true'
 }
@@ -53,5 +59,10 @@ while true; do
   sed -i '1d' "$QUEUE"
   echo "=== $(date -u) CLEAN x2 ($line1 | $line2), firing: $job" >> "$LOG"
   bash -c "$job" >> "$LOG" 2>&1
-  echo "=== $(date -u) job finished rc=$?" >> "$LOG"
+  rc=$?
+  echo "=== $(date -u) job finished rc=$rc" >> "$LOG"
+  # commit the machine-appended evidence set the moment it lands, so a
+  # later kill/reboot cannot take it (doc-only commit; HEAD code untouched)
+  git add BENCH/BASELINE.md BENCH/logs >/dev/null 2>&1
+  git commit -q -m "Evidence append: $(echo "$job" | grep -oE '[0-9]+ [0-9]+ [a-z-]+$' || echo job) rc=$rc (hunter auto-commit)" || true
 done
