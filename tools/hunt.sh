@@ -40,11 +40,18 @@ PROBELOG=BENCH/logs/probe_log_live.txt
 mkdir -p BENCH/logs
 
 probe_clean() {  # one probe; echoes the JSON line; rc 0 iff clean
+  # Hardened 07:48Z after the first CORE-stealing co-tenant of the
+  # round (07:45Z set, register-probe ceilings 0.54/0.63): a clean
+  # probe now requires the 4-thread LCG rate >= 2.85e9 (clean range
+  # this round: 2.90-3.18e9) in addition to Probe's own bw floor —
+  # a DRAM-only gate cannot see a core thief.
   local line
   line=$(java $OPENS -Xmx4g -cp "$CP" graft.bench.Probe 4 16 2>/dev/null | tail -1)
   echo "$(date -u +%H:%M:%S) $line" >> "$PROBELOG"
   echo "$line"
-  echo "$line" | grep -q '"clean":true'
+  echo "$line" | grep -q '"clean":true' || return 1
+  echo "$line" | grep -oE '"lcgA":[0-9.e+]+' | cut -d: -f2 | \
+    awk '{exit !($1 >= 2.85e9)}'
 }
 
 while true; do
