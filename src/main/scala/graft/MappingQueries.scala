@@ -173,10 +173,24 @@ object MappingQueries {
 
   // ---------- queries ----------
 
+  /** The mappings derivation over a spread documents scan — used by the
+    * heaviest projection entry (`digest_record`: full-record
+    * S-expression + FNV canonicalization), whose per-row work fuses
+    * into the scan stage: the driver's one-row-group parquet cannot
+    * split, so without [[graft.io.Scan.spread]] the whole
+    * canonicalization pass runs on one core (guide §2.5); at scale
+    * spread is the identity. The cheaper entries (triple hash, CURIE
+    * round trip, sort DSL) keep the plain single-task scan — measured
+    * r06, the exchange cost them more than it bought.
+    */
+  private def mappingsSpread(s: SparkSession, dir: String): DataFrame =
+    Derive.mappingsOf(graft.io.Scan.spread(
+      s.read.parquet(s"$dir/documents.parquet")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // canonical full-record S-expression + FNV-64 record identity
     "digest_record" -> ((s, dir) =>
-      Derive.mappings(s, dir).select(
+      mappingsSpread(s, dir).select(
         col("mapping_id"),
         Canonical.sexpr(mappingFields).as("sexpr"),
         Canonical.recordHash(mappingFields).as("record_fnv"))),

@@ -52,8 +52,15 @@ object TrainingQueries {
     // (the exact all-pairs ngram-Jaccard baseline is a TEST ORACLE, not a
     // suite entry — TextSimSpec grades MinHash LSH recall against it; the
     // default suite contains no all-pairs operator)
+    // Scan.spread on the signature-ONLY entries: the one-pass codegen
+    // signature fuses into the scan stage and the driver's one-row-group
+    // parquet cannot split (guide §2.5) — without the spread the whole
+    // pass runs on one core. The pair pipelines are NOT spread: their
+    // cost is the join cascade, and spreading their signature pass
+    // measured neutral-to-worse (r06).
     "sim_minhash_sig" -> ((s, dir) =>
-      Sim.minhashSignatures(s.read.parquet(s"$dir/documents.parquet"),
+      Sim.minhashSignatures(
+        graft.io.Scan.spread(s.read.parquet(s"$dir/documents.parquet")),
         "doc_id", "text", n = 3, k = 8)),
     "sim_minhash_lsh" -> ((s, dir) =>
       Sim.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
@@ -70,7 +77,8 @@ object TrainingQueries {
       Sim.minhashLshTruncation(boilerplateDocs(s, dir),
         "doc_id", "text", n = 3, k = 8, rows = 2, bucketCap = 2)),
     "sim_simhash" -> ((s, dir) =>
-      Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+      Sim.simhash(graft.io.Scan.spread(s.read.parquet(s"$dir/documents.parquet")),
+        "doc_id", "text")),
     "sim_simhash_pairs" -> ((s, dir) =>
       Sim.simhashPairs(
         Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))),

@@ -79,7 +79,12 @@ object Multimodal {
   def withSyntheticPng(spark: SparkSession, df: DataFrame,
                        idCol: String): Dataset[PngDoc] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long]
+    // Scan.spread: encode+decode dominate this pipeline and fuse into
+    // the scan stage; the driver's one-row-group parquet cannot split,
+    // so without the spread all codec work runs on one core (guide
+    // §2.5). The shuffled rows are bare ids — the blobs are generated
+    // AFTER the exchange, so the spread moves 8 bytes/row, not media.
+    graft.io.Scan.spread(df.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions { it =>
         // default ImageIO behavior routes every stream through a disk
         // cache temp file — per-row filesystem traffic; keep it in memory
@@ -193,6 +198,11 @@ object Multimodal {
   def withSyntheticWav(spark: SparkSession, df: DataFrame,
                        idCol: String): Dataset[WavDoc] = {
     import spark.implicits._
+    // NOT spread (unlike the PNG/Y4M twins): javax.sound's
+    // AudioSystem.write / getAudioInputStream route every call through
+    // the synchronized service-provider registry, so 32 concurrent
+    // tasks convoy on the registry lock — measured r06, the spread
+    // variant was ~2.5x SLOWER than the single-task pipeline
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(d => WavDoc(d, syntheticWav(d))))
   }
@@ -305,7 +315,8 @@ object Multimodal {
   def withSyntheticY4m(spark: SparkSession, df: DataFrame,
                        idCol: String): Dataset[Y4mDoc] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long]
+    // Scan.spread: same unsplittable-input mitigation as withSyntheticPng
+    graft.io.Scan.spread(df.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map(d => Y4mDoc(d, syntheticY4m(d))))
   }
 

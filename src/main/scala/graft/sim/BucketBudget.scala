@@ -99,7 +99,25 @@ object BucketBudget {
     if (capN <= 0) keys
     else if (keys.sparkSession.conf.get("graft.sim.capGate", "auto") == "always")
       cap(keys, groupCols, idCol, capN)
-    else if (truncationReport(keys, groupCols, capN).isEmpty) keys
+    // persist the slim banded-key table on the INACTIVE path (round-5
+    // verdict finding #2, adjusted by r06 measurement): uncached, the
+    // gate's count pre-pass evaluated the banding once and the pair
+    // self-join re-derived it on each side — persisting lets both join
+    // sides read the keys the pre-pass already computed (measured
+    // −0.15–0.3 s on each of sim_minhash_lsh / emb_neardup /
+    // emb_neardup_multi at sf0.1). The ACTIVE path deliberately stays
+    // unpersisted: the capped window feeds both join sides through ONE
+    // ReusedExchange already (a single window evaluation), so caching
+    // the pre-window keys only adds the cache build — measured +0.2 s
+    // on sim_lsh_budget when persisted. Lifetime contract unchanged:
+    // callers clearCache/unpersist after materializing the result.
+    else if (truncationReport(keys, groupCols, capN).isEmpty) {
+      // no-op when the caller already persisted this exact frame
+      // (simhashPairs hands its persisted banded base straight in)
+      if (keys.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        keys.persist()
+      else keys
+    }
     else cap(keys, groupCols, idCol, capN)
 
   /** Keep the `cap` smallest `idCol` members of every `groupCols` group

@@ -58,7 +58,12 @@ object Sim {
     // coalesce: the expression is null-intolerant (NULL in -> NULL out),
     // but the relational twin yields an EMPTY array for NULL text
     // (size(null) >= n is null -> otherwise branch) — shingle("") = []
-    // keeps the two value-identical on null-text corpora
+    // keeps the two value-identical on null-text corpora.
+    // NOT spread here: this feeds the LSH pair pipelines, whose cost is
+    // the downstream join cascade — measured r06, spreading the
+    // signature pass inside them traded the one single-task job for
+    // more stages at equal-or-worse wall time; the signature-only
+    // queries spread at their own entry instead (TrainingQueries)
     docs.select(col(idCol).as("id"),
       graft.expr.WordShingles.wordShingles(coalesce(col(textCol), lit("")), n).as("shs"))
 

@@ -47,7 +47,11 @@ object TextOps {
     */
   def languageId(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val withScores = df.select(
+    // Scan.spread on every heavy TextOps entry: the token HOF pipelines
+    // (interpreted lambdas + per-token md5) fuse into the scan stage and
+    // the driver's one-row-group parquet cannot split (guide §2.5);
+    // at scale (splits >= cores) spread is the identity
+    val withScores = graft.io.Scan.spread(df).select(
       (col("doc_id") +: Stopwords.map { case (l, stops) =>
         stopwordHits(toks, stops).as(s"s_$l") }): _*)
     val langs = Stopwords.map(_._1)
@@ -74,7 +78,7 @@ object TextOps {
     val punctRatio = punct / greatest(length(t), lit(1)).cast("double")
     val stopRatio = stopwordHits(toks, Stopwords.head._2).cast("double") /
       greatest(nTok, lit(1L)).cast("double")
-    df.select(
+    graft.io.Scan.spread(df).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       round(punctRatio, 6).as("punct_ratio"),
@@ -106,5 +110,6 @@ object TextOps {
       (acc, h) => (acc * 31L + h) % FpMod)
 
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
-    df.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+    graft.io.Scan.spread(df)
+      .select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 }

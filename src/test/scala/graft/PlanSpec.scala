@@ -258,10 +258,32 @@ class PlanSpec extends SparkSpecBase {
       s"corpus side shuffled before the IVF probe join:\n$p")
   }
 
-  test("digest_record is a pure scan-side projection (no shuffle, no UDF)") {
+  test("digest_record is scan-side (no key shuffle, no UDF); only the unsplittable-input spread may exchange") {
+    // r06: the one-row-group bench parquet cannot split, so the heavy
+    // canonicalization projection is allowed ONE round-robin spread
+    // (graft.io.Scan.spread, guide §2.5) — never a key shuffle
     val p = planOf("digest_record")
-    assert(!p.contains("Exchange"), s"record hashing must not shuffle:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+    assert(!p.contains("hashpartitioning"), s"record hashing must not key-shuffle:\n$p")
+    // at scale (scan splits >= parallelism) the spread is the identity and
+    // the plan is a pure scan-side projection — asserted via the off knob
+    spark.conf.set("graft.scan.spread", "off")
+    try {
+      val p0 = planOf("digest_record")
+      assert(!p0.contains("Exchange"), s"at-scale record hashing must not shuffle:\n$p0")
+    } finally spark.conf.set("graft.scan.spread", "auto")
+  }
+
+  test("signature-only queries spread the unsplittable scan round-robin; at scale they are shuffle-free") {
+    for (name <- Seq("sim_minhash_sig", "sim_simhash")) {
+      val p = planOf(name)
+      assert(p.contains("RoundRobinPartitioning"), s"$name must spread the one-split scan:\n$p")
+      assert(!p.contains("hashpartitioning"), s"$name must not key-shuffle:\n$p")
+      spark.conf.set("graft.scan.spread", "off")
+      try assert(!planOf(name).contains("Exchange"),
+        s"at-scale $name must be a pure scan-side projection")
+      finally spark.conf.set("graft.scan.spread", "auto")
+    }
   }
 
   test("curate/invert are single-stage codegen projections (no shuffle)") {
