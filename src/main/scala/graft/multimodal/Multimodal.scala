@@ -174,10 +174,38 @@ object Multimodal {
     ((d * 73 + il * 31 + (il * il % 997) * 7) % 65536 - 32768).toInt
   }
 
+  /** WAVE SPI providers resolved once per TASK through the public
+    * `javax.sound.sampled.spi` ServiceLoader surface. The static
+    * `AudioSystem.write` / `getAudioInputStream` entry points route
+    * EVERY call through the JDK's provider registry, whose lookup holds
+    * one global monitor per call — 32 concurrent codec tasks convoy on
+    * that lock (measured r06: the naively-parallelized pipeline ran
+    * ~2.5x SLOWER than single-task). Hoisting the lookup out of the row
+    * loop is the guide's "initialise heavyweight state once per task"
+    * rule (§4.5); the located providers are the SAME classes
+    * AudioSystem selects, so the bytes are identical. Fallback to the
+    * AudioSystem path when the loader finds none (exotic JRE).
+    */
+  private[graft] def wavWriterOpt(): Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
+  private[graft] def wavReaderSeq(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
   /** WAV-encode the deterministic PCM pattern for one doc id through the
     * real `javax.sound.sampled` WAVE writer (RIFF container, LE PCM).
     */
-  def syntheticWav(d: Long): Array[Byte] = {
+  def syntheticWav(d: Long): Array[Byte] = syntheticWav(d, wavWriterOpt())
+
+  private[graft] def syntheticWav(
+      d: Long, writer: Option[javax.sound.sampled.spi.AudioFileWriter]): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = syntheticSampleCount(d)
     val pcm = new Array[Byte](n * 2)
@@ -191,20 +219,28 @@ object Multimodal {
     val fmt = new AudioFormat(8000f, 16, 1, true, false) // 16-bit signed LE mono
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    writer match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+      case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
   def withSyntheticWav(spark: SparkSession, df: DataFrame,
                        idCol: String): Dataset[WavDoc] = {
     import spark.implicits._
-    // NOT spread (unlike the PNG/Y4M twins): javax.sound's
-    // AudioSystem.write / getAudioInputStream route every call through
-    // the synchronized service-provider registry, so 32 concurrent
-    // tasks convoy on the registry lock — measured r06, the spread
-    // variant was ~2.5x SLOWER than the single-task pipeline
+    // NOT spread (unlike the PNG/Y4M twins): even with the WAVE
+    // writer/reader providers hoisted to once-per-task (the SPI path
+    // below), the javax.sound write path still serializes internally —
+    // measured r06, every parallel variant of this pipeline ran 1.5-2.5x
+    // SLOWER than the single-task one. The provider hoist is kept (it is
+    // correct §4.5 hygiene and byte-identical, MultimodalAudioSpec), the
+    // parallelism is not.
     df.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(d => WavDoc(d, syntheticWav(d))))
+      .mapPartitions { it =>
+        val w = wavWriterOpt() // once per task, not per row (guide §4.5)
+        it.map(d => WavDoc(d, syntheticWav(d, w)))
+      }
   }
 
   /** REAL audio decode over a binary WAV column: `AudioSystem` parses the
@@ -214,11 +250,30 @@ object Multimodal {
     */
   def decodeAudioFeatures(spark: SparkSession, docs: Dataset[WavDoc]): Dataset[AudioFeatures] = {
     import spark.implicits._
-    import javax.sound.sampled.AudioSystem
+    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
     docs.mapPartitions { it =>
+      // readers resolved once per task (guide §4.5) — AudioSystem's
+      // static entry point takes the synchronized registry lock per call
+      val readers = wavReaderSeq()
       it.flatMap { doc =>
         try {
-          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(doc.wav))
+          // provider loop mirrors AudioSystem.getAudioInputStream: try
+          // each reader, UnsupportedAudioFileException means "not mine";
+          // a fresh ByteArrayInputStream per attempt replaces its
+          // mark/reset discipline
+          var ais: javax.sound.sampled.AudioInputStream = null
+          if (readers.isEmpty)
+            ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(doc.wav))
+          else {
+            val rit = readers.iterator
+            while (ais == null && rit.hasNext) {
+              val r = rit.next()
+              try ais = r.getAudioInputStream(new ByteArrayInputStream(doc.wav))
+              catch { case _: UnsupportedAudioFileException => () }
+            }
+            if (ais == null) throw new UnsupportedAudioFileException(
+              "no provider recognized the stream")
+          }
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           ais.close()

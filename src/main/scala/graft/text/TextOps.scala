@@ -50,7 +50,10 @@ object TextOps {
     // Scan.spread on every heavy TextOps entry: the token HOF pipelines
     // (interpreted lambdas + per-token md5) fuse into the scan stage and
     // the driver's one-row-group parquet cannot split (guide §2.5);
-    // at scale (splits >= cores) spread is the identity
+    // at scale (splits >= cores) spread is the identity.
+    // (A two-layer tokenize-once rewrite was tried in r06 and measured
+    // SLOWER than the inline form — Spark's codegen already shares the
+    // repeated tokens() subtree here; keep the inline expressions.)
     val withScores = graft.io.Scan.spread(df).select(
       (col("doc_id") +: Stopwords.map { case (l, stops) =>
         stopwordHits(toks, stops).as(s"s_$l") }): _*)
