@@ -50,8 +50,11 @@ probe_clean() {  # one probe; echoes the JSON line; rc 0 iff clean
   echo "$(date -u +%H:%M:%S) $line" >> "$PROBELOG"
   echo "$line"
   echo "$line" | grep -q '"clean":true' || return 1
+  # fail CLOSED when the lcgA field is missing/unparsed: awk must see
+  # exactly one value AND it must clear the floor (an empty pipe used to
+  # skip the block and return 0 — a core thief passed as clean)
   echo "$line" | grep -oE '"lcgA":[0-9.e+]+' | cut -d: -f2 | \
-    awk '{exit !($1 >= 2.85e9)}'
+    awk 'NR==1{ok=($1 >= 2.85e9)} END{exit !(NR==1 && ok)}'
 }
 
 while true; do
@@ -69,7 +72,16 @@ while true; do
   rc=$?
   echo "=== $(date -u) job finished rc=$rc" >> "$LOG"
   # commit the machine-appended evidence set the moment it lands, so a
-  # later kill/reboot cannot take it (doc-only commit; HEAD code untouched)
-  git add BENCH/BASELINE.md BENCH/logs >/dev/null 2>&1
-  git commit -q -m "Evidence append: $(echo "$job" | grep -oE '[0-9]+ [0-9]+ [a-z-]+$' || echo job) rc=$rc (hunter auto-commit)" || true
+  # later kill/reboot cannot take it. PATHSPEC commit: a bare commit
+  # would sweep whatever another session has staged (including source)
+  # into this doc-only commit; the explicit paths make that impossible.
+  # git errors land in $LOG and the commit retries once after a short
+  # sleep (index.lock collisions with an interactive session).
+  msg="Evidence append: $(echo "$job" | grep -oE '[0-9]+ [0-9]+ [a-z-]+$' || echo job) rc=$rc (hunter auto-commit)"
+  git add BENCH/BASELINE.md BENCH/logs >> "$LOG" 2>&1
+  if ! git commit -q -m "$msg" -- BENCH/BASELINE.md BENCH/logs >> "$LOG" 2>&1; then
+    sleep 10
+    git commit -q -m "$msg" -- BENCH/BASELINE.md BENCH/logs >> "$LOG" 2>&1 \
+      || echo "=== $(date -u) evidence commit FAILED twice — append is uncommitted" >> "$LOG"
+  fi
 done
