@@ -79,9 +79,15 @@ object TrainingQueries {
     "sim_simhash" -> ((s, dir) =>
       Sim.simhash(graft.io.Scan.spread(s.read.parquet(s"$dir/documents.parquet")),
         "doc_id", "text")),
+    // bounded-width spread (cores/4) below the SimHash pass: full-width
+    // spread measured worse inside the cached pair pipelines (cache
+    // fan-out), but the signature pass is still the dominant single-task
+    // job — the narrow spread parallelizes it without the fan-out
     "sim_simhash_pairs" -> ((s, dir) =>
       Sim.simhashPairs(
-        Sim.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))),
+        Sim.simhash(graft.io.Scan.spread(
+          s.read.parquet(s"$dir/documents.parquet"),
+          math.max(2, s.sparkContext.defaultParallelism / 4)), "doc_id", "text"))),
 
     // ===== embedding similarity search =====
     "emb_knn" -> ((s, dir) => {

@@ -43,13 +43,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Scan {
 
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame =
+    spread(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Bounded-width variant for cached multi-consumer pipelines: a cache
+    * written at full parallelism fans every downstream stage that reads
+    * it into cores-many tasks, which for the LSH pair pipelines (many
+    * small stages over one small cache) costs more in task waves than
+    * the wider compute saves. `target` caps the spread width; the
+    * under-parallelized-scan trigger condition is unchanged.
+    */
+  def spread(df: DataFrame, target: Int): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.get("graft.scan.spread", "auto") == "off") df
-    else {
-      val target = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions >= target) df
-      else df.repartition(target)
-    }
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 }

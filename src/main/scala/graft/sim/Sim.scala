@@ -178,7 +178,9 @@ object Sim {
     */
   private def minhashSigBase(docs: DataFrame, idCol: String, textCol: String,
                              n: Int, k: Int): DataFrame =
-    shingled(docs, idCol, textCol, n)
+    shingled(graft.io.Scan.spread(docs, math.max(2,
+        docs.sparkSession.sparkContext.defaultParallelism / 4)),
+      idCol, textCol, n)
       .filter(size(col("shs")) > 0)
       .select(col("id"), col("shs"), minhashArray(col("shs"), k).as("__mh"))
       .select(col("id"), col("shs"), struct(
@@ -312,7 +314,10 @@ object Sim {
     // this was unpersisted — the round-5 TimeCap gated run measured that
     // recompute as +27% on this pipeline). Same lifetime contract as
     // minhashLshPairs/lshNearDupPairsMulti: callers clearCache/unpersist
-    // after materializing the result.
+    // after materializing the result. (A spread here would sit ABOVE
+    // the SimHash60 projection in `sims` and parallelize nothing —
+    // callers wanting the unsplittable-scan mitigation spread their
+    // docs BELOW Sim.simhash, as the sim_simhash_pairs entry does.)
     val bandedBase = simhashBanded(sims).persist()
     val banded = BucketBudget.capIfNeeded(
       bandedBase, Seq("band", "bkey"), "id", bucketCap)

@@ -224,11 +224,20 @@ class PlanSpec extends SparkSpecBase {
       s"group-limit rewrite must fire at DefaultCap:\n$tp")
   }
 
-  test("truncation report partially aggregates before its single shuffle") {
+  test("truncation report partially aggregates before its single key shuffle") {
+    // r06: the banded input may carry the unsplittable-input spread (a
+    // round-robin exchange below the signature pass); the COUNT
+    // aggregate itself must still be one partial+final pair over one
+    // hash exchange — and with the spread disabled the whole plan is
+    // back to exactly one exchange (the at-scale shape)
     val p = planOf("sim_lsh_truncation")
     assert(p.contains("partial_count"), s"truncation count must map-side combine:\n$p")
-    assert("Exchange".r.findAllIn(p).size == 1,
-      s"truncation report is one count aggregate — one shuffle:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"truncation report is one count aggregate — one key shuffle:\n$p")
+    spark.conf.set("graft.scan.spread", "off")
+    try assert("Exchange".r.findAllIn(planOf("sim_lsh_truncation")).size == 1,
+      "at-scale truncation report must have exactly one exchange")
+    finally spark.conf.set("graft.scan.spread", "auto")
   }
 
   test("drift scans each input side ONCE (no duplicated totals subtree, no cross join)") {
