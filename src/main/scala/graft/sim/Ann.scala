@@ -210,20 +210,40 @@ object Ann {
 
   // ---------- IVF: the coarse-quantizer cell scale path ----------
 
+  /** Upper bound on the IVF centroid count: the collect below is
+    * driver-sized BY CONTRACT (C ≪ n), and this is where the contract
+    * fails loud instead of as a driver OOM — 65,536 centroids × a few
+    * hundred bytes is comfortably driver/broadcast-sized, while any
+    * realistic coarse quantizer sits far below it.
+    */
+  val MaxCentroids = 65536
+
   /** Driver-sized centroid set for IVF, taken deterministically from the
     * corpus (`id % stride == 0`). The IVF contract is C ≪ n — centroids
     * are a driver/broadcast-sized object by construction (at production
     * scale they come from a sampled k-means; the engine only needs the
     * final centroid list, however trained). Returned sorted by id so the
     * unrolled expression tree below is deterministic.
+    *
+    * Misuse guard (same class as Drift's round-4 cardinality guard): the
+    * collect is COUNT-LIMITED to [[MaxCentroids]] + 1, so an over-dense
+    * stride on a huge corpus costs one bounded fetch and an
+    * IllegalArgumentException naming the contract — never a driver OOM.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   stride: Long): Seq[(Long, Array[Double])] =
-    corpus.filter(col(idCol) % stride === 0)
+                   stride: Long): Seq[(Long, Array[Double])] = {
+    val rows = corpus.filter(col(idCol) % stride === 0)
       .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(MaxCentroids + 1)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.length <= MaxCentroids,
+      s"IVF centroid contract violated: stride=$stride selects more than " +
+        s"$MaxCentroids centroids — centroids must be a driver-sized " +
+        "coarse quantizer (C ≪ n); raise the stride or pass a trained " +
+        "centroid list")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
+  }
 
   /** IVF cell of a vector: argmax-cosine centroid id (row-local), via
     * the one-pass [[graft.expr.IvfCells]] codegen expression. Cosine is

@@ -191,4 +191,20 @@ class AnnRecallSpec extends SparkSpecBase {
     // 60-bit width sanity: hash uses bits above 32
     assert(m.values.exists(v => (v >>> 32) != 0L), "simhash must span 60 bits")
   }
+
+  test("ivfCentroids fails loud (not driver OOM) when the stride violates the C << n contract") {
+    import org.apache.spark.sql.functions._
+    val dense = spark.range(0, graft.sim.Ann.MaxCentroids + 10)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sim.Ann.ivfCentroids(dense, "vec_id", "embedding", stride = 1)
+    }
+    assert(e.getMessage.contains("C \u226a n") || e.getMessage.contains("driver-sized"),
+      s"error must name the IVF contract: ${e.getMessage}")
+    // the guard must not disturb a contract-respecting call
+    val ok = graft.sim.Ann.ivfCentroids(dense, "vec_id", "embedding", stride = 4096)
+    assert(ok.nonEmpty && ok.size <= graft.sim.Ann.MaxCentroids)
+    assert(ok.map(_._1) == ok.map(_._1).sorted)
+  }
 }
